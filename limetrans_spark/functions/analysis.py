@@ -1,0 +1,158 @@
+"""Analyzers: text → (term, position) token streams.
+
+Replaces the reference's Elasticsearch analyzer chain
+(``main/src/main/resources/elasticsearch/hbztitle-settings-v8.json:124-162``:
+hyphen_protect → standard → lowercase → icu_folding → word_delimiter_graph
+with catenate_all + preserve_original → snowball), re-targeted at source
+code per the north rule:
+
+* ``simple_tokens``   — pure-Catalyst tokenizer (split/lower, JVM-side, no
+  Python).  Used for the oracle-checked query surface: its semantics are
+  reproducible in ANSI SQL (DuckDB ``string_split_regex``).
+* ``code_tokens_udf`` — the full code-aware *graph* tokenizer as a
+  vectorized pandas UDF: identifier splitting on ``_``/``-``/camelCase with
+  catenate-all + preserve-original at overlapping positions
+  (word_delimiter_graph analogue, ``hbztitle-settings-v8.json:33-41``),
+  ASCII folding (icu_folding analogue), NFC normalization
+  (``FileQueue.java:182-184`` StreamUnicodeNormalizer analogue).
+
+Graph-position semantics (pinned by the reference's hyphen/compound
+matrix, ``ElasticsearchQueryTest.java:200-235``): for a raw token at
+position ``p`` that splits into ``n`` parts, the original lowercase form
+and the catenated form are emitted at position ``p`` (position increment
+0 — they do NOT count toward document length, matching Lucene
+``discountOverlaps``), the parts at ``p .. p+n-1``, and the next raw
+token starts at ``p+n``.  So ``parseJSON parse_json parse-json`` all
+yield {``parsejson``@p, ``parse``@p, ``json``@p+1} and phrase query
+``"parse json"`` matches all three.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --- simple analyzer (Catalyst-only; SQL-oracle-compatible) -----------------
+
+SIMPLE_SPLIT_REGEX = "[^a-z0-9]+"
+
+
+def simple_tokens(col: Column) -> Column:
+    """lower → split on non-alphanumeric → drop empties. Pure JVM."""
+    arr = F.split(F.lower(col), SIMPLE_SPLIT_REGEX)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def simple_tokenize_py(text: str) -> list[str]:
+    """Python twin of :func:`simple_tokens` for oracles/tests."""
+    return [t for t in re.split(SIMPLE_SPLIT_REGEX, text.lower()) if t]
+
+
+# --- code-aware graph analyzer ----------------------------------------------
+
+# A raw token: letters/digits possibly glued by _ or - (hyphen_protect
+# analogue: the hyphen stays inside the token at tokenize time).
+_RAW_TOKEN = re.compile(r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*")
+# camelCase boundaries: aB | ABc (acronym followed by capitalized word).
+_CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+_DELIM = re.compile(r"[-_]")
+
+
+def _fold(s: str) -> str:
+    """ICU-folding analogue: NFC normalize, strip combining marks."""
+    s = unicodedata.normalize("NFC", s)
+    nk = unicodedata.normalize("NFKD", s)
+    return "".join(c for c in nk if not unicodedata.combining(c))
+
+
+@dataclass(frozen=True)
+class GraphToken:
+    term: str
+    pos: int
+
+
+def code_tokenize_py(text: str) -> list[tuple[str, int]]:
+    """Graph-tokenize one string. Returns [(term, pos)] sorted by pos.
+
+    Deterministic, pure function — the single source of truth shared by
+    the Spark UDF, the pytest oracle, and the query-side analyzer.
+    """
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for m in _RAW_TOKEN.finditer(_fold(text)):
+        raw = m.group(0)
+        parts = [p for seg in _DELIM.split(raw) for p in _CAMEL.split(seg) if p]
+        if len(parts) == 1:
+            out.append((parts[0].lower(), pos))
+            pos += 1
+            continue
+        lparts = [p.lower() for p in parts]
+        catenated = "".join(lparts)
+        original = raw.lower()
+        # overlap tokens at the start position (posInc 0; not counted in dl)
+        out.append((catenated, pos))
+        if original != catenated:
+            out.append((original, pos))
+        for i, p in enumerate(lparts):
+            out.append((p, pos + i))
+        pos += len(parts)
+    return out
+
+
+def code_doc_length(tokens: list[tuple[str, int]]) -> int:
+    """Document length = number of position slots (discountOverlaps)."""
+    return (max(p for _, p in tokens) + 1) if tokens else 0
+
+
+_TOKEN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_TOKEN_TYPE)
+def code_tokens_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) graph tokenizer."""
+    return texts.map(lambda t: code_tokenize_py(t) if t is not None else [])
+
+
+# --- query-side analysis ------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QueryToken:
+    """One raw query token analyzed into its match variants.
+
+    Matches ES's query-time word_delimiter_graph behavior: the token
+    matches if the document contains the catenated form at one position
+    OR the parts as a phrase (consecutive positions).
+    """
+
+    raw: str
+    catenated: str
+    parts: tuple[str, ...]
+
+
+def analyze_query(text: str) -> list[QueryToken]:
+    out: list[QueryToken] = []
+    for m in _RAW_TOKEN.finditer(_fold(text)):
+        raw = m.group(0)
+        parts = tuple(
+            p.lower()
+            for seg in _DELIM.split(raw)
+            for p in _CAMEL.split(seg)
+            if p
+        )
+        out.append(QueryToken(raw=raw.lower(), catenated="".join(parts), parts=parts))
+    return out

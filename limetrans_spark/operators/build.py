@@ -1,0 +1,342 @@
+"""Index build: corpus table → docstore + postings + stats + compressed shards.
+
+Replaces the reference's transform→Elasticsearch-bulk path
+(``main/src/main/java/hbz/limetrans/Limetrans.java:431-501``,
+``ElasticsearchIndexer.java:88-164``) with an explicit SPIMI-style build:
+
+  corpus (repo, path, commit, lang, content)
+    → deterministic dense doc IDs          (no global sort at scale)
+    → vectorized graph tokenization        (functions/analysis.py)
+    → (term, doc_id) partial-agg tf        (Catalyst map-side combine)
+    → doc-sharded, term-sorted runs        (one shuffle)
+    → delta-gap + varint block compression (operators/codec.py, SPIMI writer)
+    → global DF / N / avgdl statistics
+
+Scale decisions (the 100 TB story):
+
+* **Doc-sharding bounds skew structurally.** High-DF terms (license
+  boilerplate, ``if``/``return``) would make ``groupBy(term)`` +
+  ``collect_list`` explode one reducer key.  Instead the index is
+  partitioned by ``shard = doc_id // shard_size``: a term's postings are
+  split across shards, so no reducer ever sees more than ``shard_size``
+  postings per term.  This is the explicit salting/repartitioning the
+  north rule demands, and it is also the right *query* layout: each shard
+  answers top-k locally (block-max WAND) and only k rows per shard merge
+  globally.
+* **Deterministic IDs without a global sort.** ``assign_doc_ids`` buckets
+  rows by an md5 hash of the natural key into a fixed number of buckets
+  (independent of cluster size), sorts within bucket, and adds exact
+  bucket-offset prefix sums.  Result: dense 0..N-1 IDs, identical at any
+  parallelism — the rank-identity precondition.  (``mode="sort"`` gives
+  the FIXTURES.md dense-rank-over-sorted-keys order via range bucketing;
+  rank = #keys below, which is invariant to sampled range boundaries.)
+* **Two aggregation passes, both partial-agg friendly**: tf per
+  ``(term, doc)`` (huge key space, no skew) and df per term (one row per
+  reducer key after map-side combine).
+
+Reference parity anchors: deterministic record IDs
+(``Limetrans.java:572-584`` RecordIdChanger), build counters
+(``ElasticsearchClient.java:427-449``), per-row sha256 invariant
+(BASELINE.json; analogue of the reference's golden byte-equality tests,
+``AbstractTransformationTest.java:80-83``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.analysis import code_tokens_udf, simple_tokens
+from . import codec
+
+DEFAULT_SHARD_SIZE = 1 << 17  # docs per shard; ~1M+ in prod, small here
+DEFAULT_ID_BUCKETS = 64  # fixed, cluster-size independent
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+# --------------------------------------------------------------------------
+# doc id assignment
+# --------------------------------------------------------------------------
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("repo", "path", "commit"),
+    mode: str = "hash",
+    num_buckets: int = DEFAULT_ID_BUCKETS,
+) -> DataFrame:
+    """Add a dense, deterministic ``doc_id`` (0..N-1) column.
+
+    ``mode="hash"``: bucket by md5(key) (fixed ``num_buckets``), sort by
+    key within bucket, add exact bucket-offset prefix sums.  One shuffle,
+    no global sort, IDs invariant to cluster size.
+
+    ``mode="sort"``: IDs equal the global dense rank of ``keys`` ascending
+    (FIXTURES.md §1) via range bucketing; invariant for distinct keys.
+    """
+    key_expr = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    if mode == "hash":
+        bucket = (
+            F.conv(F.substring(F.md5(key_expr), 1, 8), 16, 10).cast("long")
+            % num_buckets
+        ).cast("int")
+        df_b = df.withColumn("_bucket", bucket)
+    elif mode == "sort":
+        df_b = (
+            df.repartitionByRange(num_buckets, *keys)
+            .withColumn("_bucket", F.spark_partition_id())
+        )
+    else:
+        raise ValueError(mode)
+
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in df_b.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, o) for b, o in offsets.items()], "_bucket int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_bucket").orderBy(*keys)
+    return (
+        df_b.withColumn("_local", F.row_number().over(w) - 1)
+        .join(off_df, "_bucket")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_bucket", "_local", "_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenize + flat postings + stats
+# --------------------------------------------------------------------------
+
+
+def tokenize(docs: DataFrame, text_col: str = "content", analyzer: str = "code") -> DataFrame:
+    """→ (doc_id, term, pos) exploded token stream."""
+    if analyzer == "code":
+        toks = docs.select(
+            "doc_id", F.explode(code_tokens_udf(F.col(text_col))).alias("tok")
+        )
+        return toks.select("doc_id", F.col("tok.term").alias("term"), F.col("tok.pos").alias("pos"))
+    if analyzer == "simple":
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(simple_tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        return toks.select("doc_id", "term", F.col("pos").cast("int"))
+    raise ValueError(analyzer)
+
+
+def flat_postings(tokens: DataFrame, with_positions: bool = True) -> DataFrame:
+    """(term, doc_id) → tf [+ sorted positions]. Partial-agg friendly."""
+    aggs = [F.count("*").cast("int").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return tokens.groupBy("term", "doc_id").agg(*aggs)
+
+
+def doc_lengths(tokens: DataFrame) -> DataFrame:
+    """doc_id → dl. Graph overlap tokens (posInc 0) are discounted:
+    dl = (#distinct position slots) = max(pos)+1 counted via max."""
+    return tokens.groupBy("doc_id").agg((F.max("pos") + 1).cast("long").alias("dl"))
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """term → df (doc count), cf (collection tf), max_tf (WAND global bound)."""
+    return postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("int").alias("max_tf"),
+    )
+
+
+def corpus_stats(doclens: DataFrame) -> tuple[int, float]:
+    row = doclens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+# --------------------------------------------------------------------------
+# compressed, doc-sharded index (SPIMI writer)
+# --------------------------------------------------------------------------
+
+SHARD_ROW_SCHEMA = (
+    "shard int, term string, n int, "
+    "doc_blob binary, tf_blob binary, pos_blob binary, "
+    "block_last array<long>, block_max_tf array<int>, sum_tf long"
+)
+
+
+def _spimi_writer(shard_size: int):
+    """mapInPandas fn: term-sorted (shard, term, doc_id, tf, positions)
+    rows → one compressed row per (shard, term) run.  Runs may span Arrow
+    batches; carry state handles the seam.  Memory is bounded by the
+    largest single (shard, term) run, itself bounded by ``shard_size``.
+    """
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple[int, str] | None = None
+        docs: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        poss: list[list] = []
+
+        def flush() -> dict:
+            d = np.concatenate(docs)
+            t = np.concatenate(tfs)
+            base = cur_key[0] * shard_size
+            doc_blob, tf_blob, bl, bm = codec.encode_postings(d, t, base=base)
+            pos_blob = codec.encode_positions(
+                [np.asarray(p, dtype=np.int64) for batch in poss for p in batch]
+            )
+            return {
+                "shard": cur_key[0],
+                "term": cur_key[1],
+                "n": int(d.size),
+                "doc_blob": doc_blob,
+                "tf_blob": tf_blob,
+                "pos_blob": pos_blob,
+                "block_last": bl,
+                "block_max_tf": bm,
+                "sum_tf": int(t.sum()),
+            }
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_rows: list[dict] = []
+            shards = pdf["shard"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            # boundaries of (shard, term) runs within this batch
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                key = (int(shards[s]), str(terms[s]))
+                if key != cur_key:
+                    if cur_key is not None:
+                        out_rows.append(flush())
+                    cur_key, docs, tfs, poss = key, [], [], []
+                docs.append(pdf["doc_id"].to_numpy()[s:e])
+                tfs.append(pdf["tf"].to_numpy()[s:e])
+                poss.append(list(pdf["positions"].iloc[s:e]))
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+        if cur_key is not None:
+            yield pd.DataFrame([flush()])
+
+    return write
+
+
+def build_shards(
+    postings: DataFrame,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Flat postings → compressed doc-sharded index rows.
+
+    One shuffle: repartition by shard (all of a shard's postings are
+    co-located so queries touch exactly the partitions holding their
+    shards), then a partition-local sort by (shard, term, doc_id) feeds
+    the streaming SPIMI writer.  Output parquet written sorted by term
+    within each shard → parquet row-group min/max stats prune term
+    lookups without any custom index structure.
+    """
+    p = postings.withColumn(
+        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    )
+    if "positions" not in p.columns:
+        p = p.withColumn("positions", F.array().cast("array<int>"))
+    n_parts = num_partitions or p.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        p.repartition(int(n_parts), "shard")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .mapInPandas(_spimi_writer(shard_size), SHARD_ROW_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# full build
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class BuiltIndex:
+    docstore: DataFrame
+    postings: DataFrame  # flat (term, doc_id, tf[, positions])
+    shards: DataFrame  # compressed
+    terms: DataFrame  # term → df, cf, max_tf
+    doclens: DataFrame
+    n_docs: int
+    avgdl: float
+    shard_size: int
+    metrics: dict
+
+
+def verify_sha256(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach ``content_sha256`` and (if the source already carries a
+    ``content_sha256`` column) fail the build on any mismatch — the
+    per-row invariant from BASELINE.json, mirroring the reference's
+    byte-equality testing discipline."""
+    computed = F.sha2(F.col(content_col).cast("binary"), 256)
+    if "content_sha256" in docs.columns:
+        bad = docs.filter(F.col("content_sha256") != computed).count()
+        if bad:
+            raise ValueError(f"sha256 invariant violated for {bad} rows")
+        return docs
+    return docs.withColumn("content_sha256", computed)
+
+
+def build_index(
+    corpus: DataFrame,
+    text_col: str = "content",
+    keys: tuple[str, ...] = ("repo", "path", "commit"),
+    analyzer: str = "code",
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    id_mode: str = "hash",
+    with_positions: bool = True,
+) -> BuiltIndex:
+    docs = corpus if "doc_id" in corpus.columns else assign_doc_ids(corpus, keys, mode=id_mode)
+    docs = verify_sha256(docs, text_col) if text_col in docs.columns else docs
+    docs = docs.persist()
+
+    toks = tokenize(docs, text_col, analyzer)
+    postings = flat_postings(toks, with_positions=with_positions).persist()
+    doclens = doc_lengths(toks).persist()
+    n_docs, avgdl = corpus_stats(doclens)
+    terms = term_stats(postings)
+    shards = build_shards(postings, shard_size=shard_size)
+    docstore = docs.join(doclens, "doc_id", "left").fillna({"dl": 0})
+
+    metrics = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "analyzer": analyzer,
+        "shard_size": shard_size,
+    }
+    return BuiltIndex(
+        docstore=docstore,
+        postings=postings,
+        shards=shards,
+        terms=terms,
+        doclens=doclens,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        shard_size=shard_size,
+        metrics=metrics,
+    )

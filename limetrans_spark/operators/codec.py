@@ -1,0 +1,151 @@
+"""Posting-list block codec: delta-gap + varint (PForDelta-style blocks).
+
+The reference delegates postings storage to Lucene (via Elasticsearch,
+``es8/src/main/java/hbz/limetrans/ElasticsearchClientV8.java``); this is
+the from-scratch replacement the north rule asks for.
+
+Layout per posting list (one ``(shard, term)`` run):
+
+* doc IDs: sorted ascending → delta gaps (first = delta from shard base)
+  → LEB128 varint byte stream, in blocks of ``BLOCK_SIZE`` entries.
+* term frequencies: varint stream, same blocking.
+* positions (optional): per posting, delta-gapped positions; varint;
+  prefixed by per-posting counts (== tf, so counts are implicit).
+* block metadata kept as plain int arrays next to the blobs:
+  ``block_last_doc`` (skip pointers) and ``block_max_tf`` (block-max
+  WAND upper bounds: max BM25 contribution of a block is monotone in
+  max tf for fixed dl bounds — we additionally keep ``block_max_w``,
+  max of tf/(tf+K) weight with per-doc dl, computed at build).
+
+Everything is NumPy-vectorized; no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64s, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value: ceil(bit_length / 7), min 1, via successive
+    # comparisons against powers of 2^7 (max 10 bytes for 64-bit values).
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    while True:
+        more = v >= thresh
+        if not more.any():
+            break
+        nbytes[more] += 1
+        if int(thresh) > (1 << 56):
+            # remaining values need 10 bytes max; handle by loop exit
+            big = v >= np.uint64(1 << 63)
+            nbytes[big] = np.maximum(nbytes[big], 10)
+            break
+        thresh = np.uint64(int(thresh) << 7)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    shifted = v.copy()
+    k = 0
+    remaining = np.ones(v.shape, dtype=bool)
+    while remaining.any():
+        idx = np.nonzero(remaining)[0]
+        byte_pos = offsets[idx] + k
+        chunk = (shifted[idx] & np.uint64(0x7F)).astype(np.uint8)
+        shifted[idx] = shifted[idx] >> np.uint64(7)
+        more = shifted[idx] > 0
+        chunk[more] |= np.uint8(0x80)
+        out[byte_pos] = chunk
+        remaining[:] = False
+        remaining[idx[more]] = True
+        k += 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` LEB128 varints from ``buf``. Vectorized."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_cont = (b & 0x80) != 0
+    # value-end positions: bytes with high bit clear
+    ends = np.nonzero(~is_cont)[0]
+    assert ends.size >= count, "varint buffer truncated"
+    ends = ends[:count]
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    payload = (b & 0x7F).astype(np.uint64)
+    out = np.zeros(count, dtype=np.uint64)
+    maxlen = int((ends - starts).max()) + 1
+    for k in range(maxlen):
+        pos = starts + k
+        valid = pos <= ends
+        out[valid] |= payload[pos[valid]] << np.uint64(7 * k)
+    return out.astype(np.int64)
+
+
+def delta_encode(sorted_vals: np.ndarray, base: int = 0) -> np.ndarray:
+    a = np.asarray(sorted_vals, dtype=np.int64)
+    gaps = np.empty_like(a)
+    if a.size:
+        gaps[0] = a[0] - base
+        np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.int64)
+    if g.size == 0:
+        return g
+    out = np.cumsum(g)
+    return out + base
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, base: int = 0
+) -> tuple[bytes, bytes, list[int], list[int]]:
+    """Encode one posting list → (doc_blob, tf_blob, block_last_doc, block_max_tf)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_blob = varint_encode(delta_encode(doc_ids, base))
+    tf_blob = varint_encode(tfs)
+    n = doc_ids.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_last = [int(doc_ids[min((i + 1) * BLOCK_SIZE, n) - 1]) for i in range(nblocks)]
+    block_max_tf = [int(tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max()) for i in range(nblocks)]
+    return doc_blob, tf_blob, block_last, block_max_tf
+
+
+def decode_postings(
+    doc_blob: bytes, tf_blob: bytes, n: int, base: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(varint_decode(doc_blob, n), base)
+    tfs = varint_decode(tf_blob, n)
+    return doc_ids, tfs
+
+
+def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+    """Concatenate per-posting position lists, each delta-gapped. Counts == tf."""
+    if not positions_per_doc:
+        return b""
+    gapped = [delta_encode(np.asarray(p, dtype=np.int64)) for p in positions_per_doc]
+    return varint_encode(np.concatenate(gapped) if gapped else np.zeros(0))
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    flat = varint_decode(blob, total)
+    out: list[np.ndarray] = []
+    off = 0
+    for t in tfs:
+        seg = flat[off : off + int(t)]
+        out.append(np.cumsum(seg))
+        off += int(t)
+    return out

@@ -1,0 +1,486 @@
+"""Query engine: boolean / phrase / prefix planning + BM25 top-k retrieval.
+
+Replaces the Elasticsearch query surface the reference delegates to
+(``ElasticsearchClient.searchDocuments``, ``core/src/main/java/hbz/
+limetrans/ElasticsearchClient.java:411``; semantics pinned by
+``main/src/test/java/hbz/limetrans/ElasticsearchQueryTest.java:46-55``):
+``simple_query_string`` with default operator AND, ``|`` = OR, ``-`` =
+NOT, ``"..."`` = phrase, ``term*`` = prefix, top-k capped at
+``MAX_HITS = 1000`` (``ElasticsearchClient.java:30``).
+
+Two execution paths, rank-identical by construction (tested):
+
+* **DataFrame path** (``bm25_topk_df``): joins over the flat
+  ``(term, doc_id, tf)`` postings — pure Catalyst (filter pushdown on
+  ``term``, broadcast of per-term stats, partial aggregation).  This is
+  the oracle-checkable path and the general fallback.
+* **Sharded WAND path** (``bm25_topk_sharded``): the compressed,
+  doc-sharded index.  Each shard scores locally (document-at-a-time
+  block-max WAND with skip pointers, or a vectorized
+  term-at-a-time scorer) and emits its local top-k; only
+  ``k × n_shards`` rows reach the global merge — the layout that keeps
+  p50 latency flat as the corpus grows 100×.
+
+Determinism: per-(term,doc) contributions are float64 and summed in
+sorted-term order (``F.aggregate`` over a sorted array in the DataFrame
+path; sorted-iteration in the shard scorer), ties broken by
+``doc_id`` asc — so ranks are identical at any parallelism, as the
+north rule requires.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import simple_tokenize_py
+from . import codec
+from .build import BM25_B, BM25_K1, BuiltIndex
+
+MAX_HITS = 1000  # reference cap: ElasticsearchClient.java:30
+MAX_PREFIX_EXPANSIONS = 128
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# --------------------------------------------------------------------------
+# mini query language (simple_query_string subset)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Clause:
+    kind: str  # "term" | "phrase" | "prefix"
+    terms: tuple[str, ...]
+    negated: bool = False
+
+
+@dataclass
+class ParsedQuery:
+    """AND of clause-groups; each group is an OR of clauses."""
+
+    groups: list[list[Clause]] = field(default_factory=list)
+
+    @property
+    def positive_terms(self) -> list[str]:
+        out: list[str] = []
+        for g in self.groups:
+            for c in g:
+                if not c.negated:
+                    out.extend(c.terms)
+        return sorted(set(out))
+
+
+_QTOKEN = re.compile(r"-?\"[^\"]*\"|\||\S+")
+
+
+def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
+    """simple_query_string subset: whitespace = AND, ``|`` = OR,
+    ``-x`` = NOT, ``"a b"`` = phrase, ``t*`` = prefix."""
+    pq = ParsedQuery()
+    pending_or = False
+    for m in _QTOKEN.finditer(q):
+        tok = m.group(0)
+        if tok == "|":
+            pending_or = True
+            continue
+        negated = tok.startswith("-")
+        if negated:
+            tok = tok[1:]
+        if tok.startswith('"') and tok.endswith('"'):
+            terms = tuple(analyze(tok[1:-1]))
+            clause = Clause("phrase", terms, negated)
+        elif tok.endswith("*"):
+            stem = analyze(tok[:-1])
+            clause = Clause("prefix", tuple(stem[-1:]), negated)
+        else:
+            terms = tuple(analyze(tok))
+            if not terms:
+                continue
+            # one raw token may analyze to several terms → treat as phrase
+            clause = (
+                Clause("term", terms, negated)
+                if len(terms) == 1
+                else Clause("phrase", terms, negated)
+            )
+        if not clause.terms:
+            continue
+        if pending_or and pq.groups:
+            pq.groups[-1].append(clause)
+        else:
+            pq.groups.append([clause])
+        pending_or = False
+    return pq
+
+
+# --------------------------------------------------------------------------
+# DataFrame path
+# --------------------------------------------------------------------------
+
+
+def _contrib_col(n_docs: int, avgdl: float, df_col="df", tf_col="tf", dl_col="dl"):
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col(df_col) + F.lit(0.5))
+        / (F.col(df_col) + F.lit(0.5))
+    )
+    tfd = F.col(tf_col).cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col(dl_col).cast("double") / F.lit(float(avgdl))
+    )
+    return idf * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm)
+
+
+def phrase_match_df(postings: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """→ doc_ids where ``terms`` occur at consecutive positions.
+
+    Iterative position-intersection join, entirely JVM-side: carry the
+    set of feasible end-positions forward, one equi-join on doc_id per
+    phrase term.  Requires postings built ``with_positions``.
+    """
+    assert terms, "empty phrase"
+    cur = (
+        postings.filter(F.col("term") == terms[0])
+        .select("doc_id", F.col("positions").alias("ends"))
+    )
+    for t in terms[1:]:
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("pos")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("ends", lambda x: x + 1), F.col("pos")
+                ).alias("ends"),
+            )
+            .filter(F.size("ends") > 0)
+        )
+    return cur.select("doc_id").distinct()
+
+
+def _clause_docs_df(index: BuiltIndex, clause: Clause) -> DataFrame:
+    """doc_id set matching one clause (ignoring negation)."""
+    p = index.postings
+    if clause.kind == "term":
+        return p.filter(F.col("term") == clause.terms[0]).select("doc_id").distinct()
+    if clause.kind == "phrase":
+        return phrase_match_df(p, clause.terms)
+    if clause.kind == "prefix":
+        expanded = _expand_prefix(index, clause.terms[0])
+        return (
+            p.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
+            if expanded
+            else p.sparkSession.createDataFrame([], "doc_id long")
+        )
+    raise ValueError(clause.kind)
+
+
+def _expand_prefix(index: BuiltIndex, stem: str) -> list[str]:
+    rows = (
+        index.terms.filter(F.col("term").startswith(stem))
+        .select("term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(MAX_PREFIX_EXPANSIONS)
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def matching_docs_df(index: BuiltIndex, query: str | ParsedQuery) -> DataFrame:
+    """Boolean matching doc set (AND of OR-groups, honoring negation)."""
+    pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+    spark = index.postings.sparkSession
+    cur: DataFrame | None = None
+    negatives: list[DataFrame] = []
+    for group in pq.groups:
+        pos = [c for c in group if not c.negated]
+        neg = [c for c in group if c.negated]
+        negatives.extend(_clause_docs_df(index, c) for c in neg)
+        if not pos:
+            continue
+        gdocs = _clause_docs_df(index, pos[0])
+        for c in pos[1:]:
+            gdocs = gdocs.union(_clause_docs_df(index, c)).distinct()
+        cur = gdocs if cur is None else cur.join(gdocs, "doc_id", "left_semi")
+    if cur is None:  # pure-negative or empty query → match_all minus negatives
+        cur = index.docstore.select("doc_id")
+    for nd in negatives:
+        cur = cur.join(nd, "doc_id", "left_anti")
+    return cur
+
+
+def bm25_topk_df(
+    index: BuiltIndex,
+    query: str | ParsedQuery,
+    k: int = 10,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Boolean-filtered BM25 top-k over the flat postings (DataFrame path).
+
+    Scoring terms = all positive terms (prefix clauses expand).  The
+    match set comes from :func:`matching_docs_df`; scores sum the
+    BM25 contributions of the scoring terms present in each doc.
+    """
+    pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+    k = min(k, MAX_HITS)
+    score_terms: set[str] = set()
+    for g in pq.groups:
+        for c in g:
+            if c.negated:
+                continue
+            if c.kind == "prefix":
+                score_terms.update(_expand_prefix(index, c.terms[0]))
+            else:
+                score_terms.update(c.terms)
+    docs = matching_docs_df(index, pq)
+    if not score_terms:  # match_all: score 0, doc_id order
+        return (
+            docs.withColumn("score", F.lit(0.0))
+            .orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", "score")
+        )
+    qterms = sorted(score_terms)
+    p = index.postings.filter(F.col("term").isin(qterms))
+    tstats = F.broadcast(index.terms.filter(F.col("term").isin(qterms)).select("term", "df"))
+    contrib = (
+        p.join(tstats, "term")
+        .join(index.doclens, "doc_id")
+        .join(docs, "doc_id", "left_semi")
+        .withColumn("contrib", _contrib_col(index.n_docs, index.avgdl))
+    )
+    if deterministic:
+        scored = contrib.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    else:
+        scored = contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# sharded compressed path: per-shard block-max WAND, global k-merge
+# --------------------------------------------------------------------------
+
+
+def _decode_shard_group(pdf: pd.DataFrame, shard_size: int):
+    """Decode the compressed rows of one (shard, query-terms) group."""
+    out = {}
+    for _, row in pdf.iterrows():
+        base = int(row["shard"]) * shard_size
+        d, t = codec.decode_postings(
+            row["doc_blob"], row["tf_blob"], int(row["n"]), base=base
+        )
+        out[row["term"]] = {
+            "docs": d,
+            "tfs": t,
+            "block_last": np.asarray(row["block_last"], dtype=np.int64),
+            "block_max_tf": np.asarray(row["block_max_tf"], dtype=np.int64),
+            "pos_blob": row["pos_blob"],
+        }
+    return out
+
+
+def _taat_scores(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float):
+    """Vectorized term-at-a-time scoring → dense score array over the shard."""
+    scores = np.zeros(dl.size, dtype=np.float64)
+    nmatch = np.zeros(dl.size, dtype=np.int32)
+    for term in sorted(plists):  # sorted order → deterministic float sums
+        pl = plists[term]
+        idx = pl["docs"] - base
+        tf = pl["tfs"].astype(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl[idx] / avgdl)
+        scores[idx] += idfs[term] * tf * (BM25_K1 + 1.0) / (tf + norm)
+        nmatch[idx] += 1
+    return scores, nmatch
+
+
+def _wand_topk(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float, k: int):
+    """Document-at-a-time block-max WAND (OR semantics) over one shard.
+
+    Skip logic: term upper bound = idf·(k1+1)·btf/(btf+k1·(1−b+b·dlmin/avgdl))
+    per block (sound since tf/(tf+K) is increasing in tf, decreasing in dl);
+    pivot selection on global term bounds; block-max check before scoring;
+    galloping advance via ``np.searchsorted``.  Returns (doc_ids, scores).
+    """
+    terms = sorted(plists)
+    if not terms:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    dlmin = float(dl.min()) if dl.size else 0.0
+    Kmin = BM25_K1 * (1.0 - BM25_B + BM25_B * dlmin / avgdl)
+
+    def w_ub(tf):
+        return tf * (BM25_K1 + 1.0) / (tf + Kmin)
+
+    docs = [plists[t]["docs"] for t in terms]
+    tfs = [plists[t]["tfs"] for t in terms]
+    blast = [plists[t]["block_last"] for t in terms]
+    bmax = [
+        idfs[t] * w_ub(plists[t]["block_max_tf"].astype(np.float64))
+        for t in terms
+    ]
+    gmax = [float(b.max()) if b.size else 0.0 for b in bmax]
+    ptr = [0] * len(terms)
+    n = [d.size for d in docs]
+
+    import heapq
+
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap on score
+    theta = 0.0
+
+    def score_doc(doc: int) -> float:
+        s = 0.0
+        for i, t in enumerate(terms):
+            p = ptr[i]
+            if p < n[i] and docs[i][p] == doc:
+                tf = float(tfs[i][p])
+                norm = BM25_K1 * (
+                    1.0 - BM25_B + BM25_B * float(dl[doc - base]) / avgdl
+                )
+                s += idfs[t] * tf * (BM25_K1 + 1.0) / (tf + norm)
+        return s
+
+    while True:
+        live = [(docs[i][ptr[i]], i) for i in range(len(terms)) if ptr[i] < n[i]]
+        if not live:
+            break
+        live.sort()
+        acc, pivot_idx = 0.0, -1
+        for j, (_, i) in enumerate(live):
+            acc += gmax[i]
+            if acc >= theta or len(heap) < k:
+                pivot_idx = j
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = int(live[pivot_idx][0])
+        # block-max refinement at the pivot
+        bub = 0.0
+        for _, i in live[: pivot_idx + 1]:
+            bi = int(np.searchsorted(blast[i], pivot_doc))
+            if bi < bmax[i].size:
+                bub += float(bmax[i][bi])
+        if len(heap) >= k and bub < theta:
+            # skip: advance the lowest-doc term past min block boundary
+            _, i0 = live[0]
+            bi = int(np.searchsorted(blast[i0], pivot_doc))
+            nxt = int(blast[i0][bi]) + 1 if bi < blast[i0].size else np.iinfo(np.int64).max
+            ptr[i0] = int(np.searchsorted(docs[i0], max(nxt, pivot_doc + 1)))
+            continue
+        if live[0][0] == pivot_doc:
+            # all pre-pivot terms aligned → full score
+            for _, i in live:
+                if ptr[i] < n[i] and docs[i][ptr[i]] < pivot_doc:
+                    ptr[i] = int(np.searchsorted(docs[i], pivot_doc))
+            s = score_doc(pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, (s, -pivot_doc))
+            elif (s, -pivot_doc) > heap[0]:
+                heapq.heapreplace(heap, (s, -pivot_doc))
+            if len(heap) >= k:
+                theta = heap[0][0]
+            for _, i in live:
+                if ptr[i] < n[i] and docs[i][ptr[i]] == pivot_doc:
+                    ptr[i] += 1
+        else:
+            # advance laggards to the pivot (galloping)
+            for _, i in live[:pivot_idx]:
+                ptr[i] = int(np.searchsorted(docs[i], pivot_doc))
+    if not heap:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return (
+        np.array([-d for _, d in items], dtype=np.int64),
+        np.array([s for s, _ in items]),
+    )
+
+
+def bm25_topk_sharded(
+    index: BuiltIndex,
+    query: str | ParsedQuery,
+    k: int = 10,
+    operator: str = "or",
+    algorithm: str = "wand",
+) -> DataFrame:
+    """BM25 top-k over the compressed doc-sharded index.
+
+    Plan: prune index rows to the query terms (parquet min/max on the
+    term-sorted files when reading from disk) → cogroup with per-shard
+    doc lengths → per-shard local top-k (WAND or vectorized TAAT) via
+    ``applyInPandas`` → global ``orderBy(score desc, doc_id).limit(k)``
+    over ≤ k·n_shards rows.
+    """
+    pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+    k = min(k, MAX_HITS)
+    qterms = pq.positive_terms
+    if not qterms:
+        raise ValueError("sharded path requires at least one positive term")
+    n_docs, avgdl, shard_size = index.n_docs, index.avgdl, index.shard_size
+    tstats = {
+        r["term"]: int(r["df"])
+        for r in index.terms.filter(F.col("term").isin(qterms)).collect()
+    }
+    idfs = {t: bm25_idf(n_docs, df) for t, df in tstats.items()}
+    n_query_terms = len(qterms)
+
+    rows = index.shards.filter(F.col("term").isin(qterms))
+    dls = index.doclens.withColumn(
+        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    )
+
+    def score_shard(key, pdfs: pd.DataFrame, dlpdf: pd.DataFrame) -> pd.DataFrame:
+        if pdfs.empty or dlpdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        shard = int(key[0])
+        base = shard * shard_size
+        dl = np.zeros(shard_size, dtype=np.float64)
+        ids = dlpdf["doc_id"].to_numpy() - base
+        dl[ids] = dlpdf["dl"].to_numpy()
+        plists = _decode_shard_group(pdfs, shard_size)
+        if operator == "and":
+            scores, nmatch = _taat_scores(plists, idfs, dl, base, avgdl)
+            mask = nmatch == n_query_terms
+            cand = np.nonzero(mask)[0]
+            s = scores[cand]
+        elif algorithm == "taat":
+            scores, nmatch = _taat_scores(plists, idfs, dl, base, avgdl)
+            cand = np.nonzero(nmatch > 0)[0]
+            s = scores[cand]
+        else:
+            d, s = _wand_topk(plists, idfs, dl, base, avgdl, k)
+            return pd.DataFrame({"doc_id": d, "score": s})
+        if cand.size > k:
+            # local top-k: partial-select then exact sort of the k slice
+            part = np.argpartition(-s, k - 1)[:k]
+            order = part[np.lexsort((cand[part], -s[part]))]
+        else:
+            order = np.lexsort((cand, -s))
+        return pd.DataFrame(
+            {"doc_id": (cand[order] + base).astype(np.int64), "score": s[order]}
+        )
+
+    local = rows.groupBy("shard").cogroup(dls.groupBy("shard")).applyInPandas(
+        score_shard, "doc_id long, score double"
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the index-build workload.
+
+Mirrors the operational posture of the reference pipeline (single JVM,
+bounded memory, bulk-write oriented: ``ElasticsearchClient.java:39-47``)
+but exposes the knobs that matter on a real multi-executor cluster:
+shuffle partitions, AQE (runtime coalescing + skew handling), and Arrow
+for the vectorized pandas UDF path (``input_hint``: no per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "limetrans-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``.  On a cluster, spark-submit supplies the master and
+    this function only applies the SQL confs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime partition coalescing + skew-join splitting. GroupBy
+        # skew on high-DF terms is handled explicitly (operators/build.py),
+        # AQE covers the join side.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for pandas UDFs / mapInPandas (the tokenizer and
+        # the SPIMI block writer are Arrow-batched, never per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Keep scan splits small enough that a 100 TB corpus yields
+        # balanced tokenize tasks (128 MiB is the Spark default; pinned
+        # here so behavior is stable across deployments).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,141 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+The engine's domain input is an Iceberg-style table
+``(repo, path, commit, lang, content)`` (BASELINE.json ``input_hint``).
+No such table ships with the sandbox, so tests and benchmarks synthesize
+one deterministically (seeded; no external data) — the analogue of the
+reference's checked-in MARC fixtures (``main/src/test/resources/limetrans/
+input/*``).
+
+Generation is distributed: ``spark.range(n)`` → ``mapInPandas`` with a
+per-row PCG64 stream keyed by ``(seed, row_id)``, so the content of row
+``i`` is identical regardless of partitioning or cluster size — the
+property every rank-identity test leans on.
+
+~20% of rows get a license-boilerplate paragraph injected, producing the
+realistic high-DF skew terms the north rule requires us to handle.
+Row lengths are log-normal in [50, 5000] tokens so BM25 length
+normalization (avgdl) is exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+LANGS = ["py", "java", "js", "go", "rs"]
+_EXT = {"py": "py", "java": "java", "js": "js", "go": "go", "rs": "rs"}
+
+# identifier vocabulary: camelCase / snake_case / hyphenated / catenated
+# families (FIXTURES §3) + code keywords kept as high-DF stop-like tokens.
+IDENTIFIERS = [
+    "parseJSON", "parse_json", "parse-json", "parsejson",
+    "blockMaxWand", "block_max_wand", "block-max-wand", "blockmaxwand",
+    "tokenStream", "token_stream", "tokenizer", "tokenize",
+    "readFile", "read_file", "writeBuffer", "write_buffer",
+    "HttpClient", "http_client", "e-payment", "epayment",
+    "indexBuilder", "index_builder", "postingList", "posting_list",
+    "docFrequency", "doc_frequency", "avgFieldLength", "score",
+    "naïve", "naive", "deltaGap", "delta_gap", "varintEncode",
+    "shardRouter", "shard_router", "bm25Scorer", "queryPlanner",
+    "mergeSegments", "merge_segments", "checkpointManager",
+]
+KEYWORDS = ["if", "return", "def", "class", "for", "while", "import",
+            "fn", "let", "const", "var", "func", "pub", "static"]
+PUNCT = ["(", ")", "{", "}", "=", "==", "->", ":", ";", ",", ".", "[", "]"]
+LICENSE = (
+    "Licensed under the Apache License Version 2.0 the License "
+    "you may not use this file except in compliance with the License "
+    "Unless required by applicable law or agreed to in writing software "
+    "distributed under the License is distributed on an AS IS BASIS "
+    "WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND either express or implied"
+)
+
+DEFAULT_SEED = 42
+
+
+def _row_content(seed: int, i: int, min_tokens: int, max_tokens: int) -> str:
+    rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+    # log-normal token count clipped to [min_tokens, max_tokens]
+    n = int(np.clip(rng.lognormal(mean=5.0, sigma=0.8), min_tokens, max_tokens))
+    ids = rng.integers(0, len(IDENTIFIERS), size=n)
+    kind = rng.random(size=n)
+    toks: list[str] = []
+    if rng.random() < 0.20:
+        toks.append(LICENSE)
+    for j in range(n):
+        r = kind[j]
+        if r < 0.55:
+            toks.append(IDENTIFIERS[ids[j]])
+        elif r < 0.80:
+            toks.append(KEYWORDS[ids[j] % len(KEYWORDS)])
+        elif r < 0.92:
+            toks.append(PUNCT[ids[j] % len(PUNCT)])
+        else:
+            toks.append(f"v{ids[j]}")
+    return " ".join(toks)
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = DEFAULT_SEED,
+    min_tokens: int = 50,
+    max_tokens: int = 5000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus DataFrame (repo, path, commit, lang, content)."""
+    base = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            repo = [f"org{i % 7}/repo{i % 23}" for i in ids]
+            lang = [LANGS[i % len(LANGS)] for i in ids]
+            path = [
+                f"src/dir{i % 11}/file_{i}.{_EXT[lang_]}"
+                for i, lang_ in zip(ids, lang)
+            ]
+            commit = [
+                hashlib.sha256(f"{r}:{p}".encode()).hexdigest()[:40]
+                for r, p in zip(repo, path)
+            ]
+            content = [_row_content(seed, int(i), min_tokens, max_tokens) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit,
+                    "lang": lang,
+                    "content": content,
+                }
+            )
+
+    return base.mapInPandas(
+        gen, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def synth_corpus_rows(n_rows: int, seed: int = DEFAULT_SEED,
+                      min_tokens: int = 50, max_tokens: int = 5000) -> list[dict]:
+    """Driver-side twin of :func:`synth_corpus` for pytest oracles."""
+    rows = []
+    for i in range(n_rows):
+        repo = f"org{i % 7}/repo{i % 23}"
+        lang = LANGS[i % len(LANGS)]
+        path = f"src/dir{i % 11}/file_{i}.{_EXT[lang]}"
+        commit = hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40]
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": lang,
+                "content": _row_content(seed, i, min_tokens, max_tokens),
+            }
+        )
+    return rows

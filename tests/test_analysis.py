@@ -1,0 +1,99 @@
+"""Analyzer unit vectors — the FIXTURES.md §3 families, transliterating the
+reference's hyphen/compound-equivalence matrix
+(``ElasticsearchQueryTest.java:200-235``) to code identifiers."""
+
+from limetrans_spark.functions.analysis import (
+    analyze_query,
+    code_doc_length,
+    code_tokenize_py,
+    simple_tokenize_py,
+)
+
+
+def toks(text):
+    return code_tokenize_py(text)
+
+
+def terms_at(tokens, pos):
+    return {t for t, p in tokens if p == pos}
+
+
+def test_camel_case_graph():
+    t = toks("parseJSON")
+    # catenated+original coincide (parsejson), parts at 0 and 1
+    assert ("parsejson", 0) in t
+    assert ("parse", 0) in t
+    assert ("json", 1) in t
+    assert len(t) == 3
+    assert code_doc_length(t) == 2
+
+
+def test_snake_hyphen_camel_equivalence():
+    """parseJSON ≈ parse_json ≈ parse-json: same term/position sets."""
+    base = set(toks("parseJSON"))
+    assert set(toks("parse_json")) - {("parse_json", 0)} == base
+    assert set(toks("parse-json")) - {("parse-json", 0)} == base
+
+
+def test_three_part_compound():
+    # block-max-wand ↔ blockmaxwand ↔ block max wand (drei-zinnen-gebiet family)
+    t = toks("block-max-wand")
+    assert terms_at(t, 0) >= {"blockmaxwand", "block-max-wand", "block"}
+    assert ("max", 1) in t and ("wand", 2) in t
+    plain = toks("block max wand")
+    assert plain == [("block", 0), ("max", 1), ("wand", 2)]
+    cat = toks("blockmaxwand")
+    assert cat == [("blockmaxwand", 0)]
+
+
+def test_single_letter_prefix():
+    # e-payment ↔ epayment (single-letter edge case)
+    t = toks("e-payment")
+    assert ("epayment", 0) in t and ("e", 0) in t and ("payment", 1) in t
+
+
+def test_positions_advance_by_parts():
+    t = toks("readFile then writeBuffer")
+    # readFile: parts at 0,1 → "then" at 2 → writeBuffer parts at 3,4
+    assert ("then", 2) in t
+    assert ("write", 3) in t and ("buffer", 4) in t
+    assert code_doc_length(t) == 5
+
+
+def test_unicode_folding_and_nfc():
+    assert toks("naïve") == [("naive", 0)]
+    # NFC: decomposed é == composed é
+    assert toks("café") == toks("café")
+
+
+def test_numerics_not_split():
+    assert toks("utf8") == [("utf8", 0)]
+    assert toks("sha256sum") == [("sha256sum", 0)]
+
+
+def test_acronym_boundary():
+    t = toks("HTTPClient")
+    assert ("http", 0) in t and ("client", 1) in t and ("httpclient", 0) in t
+
+
+def test_stoplike_tokens_kept():
+    # unlike the reference's German stopword filter, code keeps if/return
+    assert toks("if return the") == [("if", 0), ("return", 1), ("the", 2)]
+
+
+def test_simple_tokenizer():
+    assert simple_tokenize_py("Hello, World! x9") == ["hello", "world", "x9"]
+    assert simple_tokenize_py("") == []
+
+
+def test_query_analysis_variants():
+    q = analyze_query("parse-json score")
+    assert q[0].catenated == "parsejson"
+    assert q[0].parts == ("parse", "json")
+    assert q[1].parts == ("score",)
+
+
+def test_empty_and_punct_only():
+    assert toks("") == []
+    assert toks("(){};;=->") == []
+    assert code_doc_length([]) == 0

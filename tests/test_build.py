@@ -1,0 +1,134 @@
+"""Index-build invariants (SURVEY.md §5 test plan): deterministic IDs,
+sha256 invariant, postings/df/dl accounting, shard codec round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from limetrans_spark.operators import codec
+from limetrans_spark.operators.build import (
+    assign_doc_ids,
+    build_index,
+    verify_sha256,
+)
+from limetrans_spark.sources.corpus import synth_corpus, synth_corpus_rows
+from tests.oracle import OracleIndex, assign_ids_py
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, N_DOCS, max_tokens=300, partitions=4).persist()
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    idx = build_index(corpus, shard_size=32)
+    idx.shards.persist()
+    idx.docstore.persist()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def oracle(index):
+    rows = index.docstore.select("doc_id", "content").collect()
+    return OracleIndex.build({r["doc_id"]: r["content"] for r in rows})
+
+
+def test_corpus_matches_python_twin(corpus):
+    got = {r["path"]: r for r in corpus.collect()}
+    want = synth_corpus_rows(N_DOCS, max_tokens=300)
+    assert len(got) == N_DOCS
+    for w in want:
+        g = got[w["path"]]
+        assert g["content"] == w["content"]
+        assert g["commit"] == w["commit"]
+
+
+def test_doc_ids_dense_and_deterministic(spark, corpus):
+    a = assign_doc_ids(corpus, mode="hash")
+    ids = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    assert ids == list(range(N_DOCS))
+    # parallelism invariance: same ids from a differently-partitioned input
+    b = assign_doc_ids(corpus.repartition(13), mode="hash")
+    ma = {(r["repo"], r["path"]): r["doc_id"] for r in a.collect()}
+    mb = {(r["repo"], r["path"]): r["doc_id"] for r in b.collect()}
+    assert ma == mb
+    # python twin agreement (independent md5-bucket implementation)
+    rows = synth_corpus_rows(N_DOCS, max_tokens=300)
+    py = assign_ids_py(rows)
+    for r in corpus.collect():
+        assert ma[(r["repo"], r["path"])] == py[(r["repo"], r["path"], r["commit"])]
+
+
+def test_doc_ids_sort_mode(spark, corpus):
+    a = assign_doc_ids(corpus, mode="sort")
+    rows = a.select("repo", "path", "commit", "doc_id").collect()
+    by_key = sorted(rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    assert [r["doc_id"] for r in by_key] == list(range(N_DOCS))
+
+
+def test_sha256_invariant(spark, corpus):
+    docs = verify_sha256(corpus)
+    import hashlib
+
+    r = docs.select("content", "content_sha256").first()
+    assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+    # a corrupted row must fail the build
+    bad = docs.withColumn(
+        "content", F.when(F.rand(1) < 2.0, F.lit("tampered")).otherwise(F.col("content"))
+    )
+    with pytest.raises(ValueError, match="sha256 invariant"):
+        verify_sha256(bad)
+
+
+def test_postings_invariants(index, oracle):
+    # df == number of postings rows per term
+    df_check = (
+        index.postings.groupBy("term").count()
+        .join(index.terms, "term")
+        .filter(F.col("count") != F.col("df"))
+        .count()
+    )
+    assert df_check == 0
+    # postings tf match the oracle exactly
+    got = {
+        (r["term"], r["doc_id"]): r["tf"] for r in index.postings.collect()
+    }
+    want = {
+        (t, d): tf for t, m in oracle.tf.items() for d, tf in m.items()
+    }
+    assert got == want
+    # doc lengths match oracle (graph overlaps discounted)
+    dls = {r["doc_id"]: r["dl"] for r in index.doclens.collect()}
+    assert dls == oracle.dl
+    assert index.n_docs == N_DOCS
+    assert abs(index.avgdl - oracle.avgdl) < 1e-9
+
+
+def test_shard_roundtrip(index, oracle):
+    """Decoding every compressed shard row reproduces the flat postings."""
+    rows = index.shards.collect()
+    seen = {}
+    for r in rows:
+        base = r["shard"] * index.shard_size
+        d, t = codec.decode_postings(r["doc_blob"], r["tf_blob"], r["n"], base=base)
+        assert (np.diff(d) > 0).all()  # sorted, unique
+        assert ((d >= base) & (d < base + index.shard_size)).all()
+        pos = codec.decode_positions(r["pos_blob"], t)
+        for i, doc in enumerate(d):
+            seen[(r["term"], int(doc))] = (int(t[i]), [int(x) for x in pos[i]])
+    want = {
+        (term, doc): (tf, oracle.pos[term][doc])
+        for term, m in oracle.tf.items()
+        for doc, tf in m.items()
+    }
+    assert seen == want
+
+
+def test_docstore_lookup(index):
+    """getDocument analogue (ElasticsearchClientV8.java:249-252)."""
+    row = index.docstore.filter(F.col("doc_id") == 5).collect()
+    assert len(row) == 1
+    assert row[0]["content_sha256"] is not None
