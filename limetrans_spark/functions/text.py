@@ -1,0 +1,114 @@
+"""Text-analysis functions for corpus curation: token counting, quality
+scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (JVM-side, codegen'd, no UDF) and all
+reproducible in portable SQL — the DuckDB oracle gate checks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import simple_tokens
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "this", "that",
+]
+
+# engine-portable "BPE-ish" pre-token pattern: identifier runs OR single
+# non-space symbols (explicit classes; no \w/\s dialect drift)
+BPE_TOKEN_REGEX = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "a", "and", "is", "of", "to"],
+    "es": ["el", "los", "las", "que", "y", "es"],
+    "fr": ["le", "les", "et", "est", "une", "des"],
+}
+
+
+def token_count(col: Column) -> Column:
+    return F.size(simple_tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (regex runs + symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = simple_tokens(col)
+    stops = F.filter(toks, lambda t: t.isin(STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops).cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit("[^A-Za-z0-9_ ]"), 0))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = simple_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document-quality score in [0,1]:
+    length factor × (1 − stopword excess) × (1 − punctuation density).
+    Deterministic rational arithmetic → portable across engines."""
+    n = token_count(col)
+    length_factor = F.least(n.cast("double") / F.lit(20.0), F.lit(1.0))
+    stop_penalty = F.lit(1.0) - F.least(stopword_ratio(col) * 2.0, F.lit(1.0))
+    pc = punct_count(col).cast("double")
+    chars = F.length(col).cast("double")
+    punct_penalty = F.lit(1.0) - F.least(
+        F.when(chars > 0, pc / chars).otherwise(0.0) * 4.0, F.lit(1.0)
+    )
+    return F.round(length_factor * stop_penalty * punct_penalty, 6)
+
+
+def lang_marker_count(col: Column, lang: str) -> Column:
+    toks = simple_tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def langid(col: Column) -> Column:
+    """Marker-word language ID: argmax of per-language marker counts,
+    deterministic tie-break by language code ascending; 'und' if zero."""
+    langs = sorted(LANG_MARKERS)
+    counts = {lg: lang_marker_count(col, lg) for lg in langs}
+    best_count = F.greatest(*[counts[lg] for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):  # first (asc) lang wins ties
+        expr = F.when((counts[lg] == best_count) & (best_count > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → squeeze whitespace → trim (keyword_normalized analyzer
+    analogue, hbztitle-settings-v8.json:180-189)."""
+    return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (whole-doc rolling
+    hash stand-in; portable across engines)."""
+    return F.md5(normalize_text(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-stop per-document curation profile."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(mean_token_len(c), 6).alias("mean_token_len"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        punct_count(c).alias("n_punct"),
+        quality_score(c).alias("quality"),
+        langid(c).alias("langid"),
+        fingerprint(c).alias("fingerprint"),
+    )

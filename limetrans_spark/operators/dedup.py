@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference's only dedup is per-record field dedup
+(``main/src/main/java/hbz/limetrans/function/Dedup.java``); a training-
+data pipeline needs *cross-document* dedup.  All operators here are
+shuffle-conscious:
+
+* exact        — one hash-groupBy; canonical id = min doc id per hash.
+* token-set Jaccard — similarity self-join via an inverted index on
+  tokens (join on shared token, count intersections), never an O(n²)
+  cross join.
+* MinHash + LSH — portable signatures (lexicographic min of
+  ``md5(salt‖token)``, reproducible in any engine), banded into buckets;
+  candidate pairs only form inside a bucket.  At 100 TB the band-bucket
+  groupBy is the only shuffle and the bucket key is uniform by
+  construction (hash values), so no skew.
+* SimHash      — 16-bit parity fingerprint from md5 nibbles; near-dup
+  candidates share the fingerprint (or a band of it).
+* embedding    — cosine near-dup over `array<float>` (see operators/ann).
+
+Every operator is expressible in portable SQL (md5 + group-bys), which
+is what the DuckDB oracle gate checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import simple_tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, content_hash, canonical_id, is_dup). Hash-groupBy; one shuffle."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    canon = h.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        h.join(canon, "content_hash")
+        .withColumn("is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+        .select(id_col, "content_hash", "canonical_id", "is_dup")
+    )
+
+
+def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(simple_tokens(F.col(text_col)))).alias("term"),
+    )
+    return toks
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-set Jaccard similarity join → (id_a, id_b, jaccard ≥ threshold).
+
+    Inverted-index plan: explode distinct tokens, self-join on token
+    (so only documents sharing ≥1 token ever pair), count shared tokens,
+    then |A∪B| = |A|+|B|−|A∩B|.  All shuffles key on token or id pair —
+    at scale, prune ubiquitous tokens first (stop-token ceiling) to keep
+    the token join skew-free; here the vocabulary is tiny so no pruning.
+    """
+    toks = _token_sets(df, text_col, id_col).persist()
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, h0..h{n-1}): lexicographic-min of md5(salt‖token) per salt.
+
+    String-min MinHash is a valid permutation-min (md5 is the random
+    permutation of the token universe) and — unlike xxhash — is
+    bit-reproducible across Spark, DuckDB, and Python.
+    """
+    toks = _token_sets(df, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs → (id_a, id_b, n_bands_matched).
+
+    ``num_hashes/bands`` rows per band; documents collide in a band iff
+    that band's signature slice is identical.  The band groupBy key is a
+    hash value → uniformly distributed → skew-free shuffle.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col, id_col)
+    per_band = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        per_band.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("bucket"),
+            )
+        )
+    banded = per_band[0]
+    for p in per_band[1:]:
+        banded = banded.unionByName(p)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, simhash): ``bits``-bit SimHash over distinct tokens.
+
+    Bit j = sign of Σ_tokens (parity of md5 hex digit j) — parity read
+    straight off the md5 nibble, so the fingerprint is engine-portable.
+    Emitted as a bit-string column (msb = bit 0) for grouping/banding.
+    """
+    assert bits <= 32
+    toks = _token_sets(df, text_col, id_col)
+    toks = toks.withColumn("h", F.md5(F.col("term")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bit_cols = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)
+    ]
+    return agg.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column (float64 math).
+
+    Brute-force O(n²) pairing — correct baseline; the scale path buckets
+    by LSH/IVF first (operators/ann.py) so only same-bucket pairs join.
+    """
+    from .ann import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
