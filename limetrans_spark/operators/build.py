@@ -263,8 +263,12 @@ def build_shards(
     if "positions" not in p.columns:
         p = p.withColumn("positions", F.array().cast("array<int>"))
     n_parts = num_partitions or p.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # partition by (shard, term): keeps every (shard, term) run intact in one
+    # partition (required by the writer) while spreading a shard's terms over
+    # all cores — full parallelism even when n_shards < n_cores, and no
+    # single reducer ever holds more than one term-run of one shard.
     return (
-        p.repartition(int(n_parts), "shard")
+        p.repartition(int(n_parts), "shard", "term")
         .sortWithinPartitions("shard", "term", "doc_id")
         .mapInPandas(_spimi_writer(shard_size), SHARD_ROW_SCHEMA)
     )

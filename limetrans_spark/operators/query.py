@@ -221,6 +221,19 @@ def matching_docs_df(index: BuiltIndex, query: str | ParsedQuery) -> DataFrame:
     return cur
 
 
+def _is_flat(pq: ParsedQuery) -> str | None:
+    """'and'/'or' if the query is plain positive single-term clauses
+    (no phrase/prefix/negation) — eligible for the single-pass plan."""
+    clauses = [c for g in pq.groups for c in g]
+    if not clauses or any(c.negated or c.kind != "term" for c in clauses):
+        return None
+    if all(len(g) == 1 for g in pq.groups):
+        return "and"
+    if len(pq.groups) == 1:
+        return "or"
+    return None
+
+
 def bm25_topk_df(
     index: BuiltIndex,
     query: str | ParsedQuery,
@@ -229,12 +242,42 @@ def bm25_topk_df(
 ) -> DataFrame:
     """Boolean-filtered BM25 top-k over the flat postings (DataFrame path).
 
-    Scoring terms = all positive terms (prefix clauses expand).  The
-    match set comes from :func:`matching_docs_df`; scores sum the
-    BM25 contributions of the scoring terms present in each doc.
+    Flat AND/OR queries take a single-pass plan: one postings scan →
+    one aggregation producing (score, n_matched) together, the AND
+    constraint as a post-aggregation filter — no separate match-set
+    subtree, half the stages.  General queries (phrase/prefix/NOT)
+    compose the boolean match set from :func:`matching_docs_df` and
+    left-semi join it into the scoring aggregate.
     """
     pq = query if isinstance(query, ParsedQuery) else parse_query(query)
     k = min(k, MAX_HITS)
+    flat_op = _is_flat(pq)
+    if flat_op is not None:
+        qterms = pq.positive_terms
+        p = index.postings.filter(F.col("term").isin(qterms))
+        tstats = F.broadcast(
+            index.terms.filter(F.col("term").isin(qterms)).select("term", "df")
+        )
+        contrib = (
+            p.join(tstats, "term")
+            .join(index.doclens, "doc_id")
+            .withColumn("contrib", _contrib_col(index.n_docs, index.avgdl))
+        )
+        scored = contrib.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.count("*").alias("_nm"),
+        )
+        if flat_op == "and":
+            scored = scored.filter(F.col("_nm") == len(qterms))
+        return (
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score")
+        )
     score_terms: set[str] = set()
     for g in pq.groups:
         for c in g:
