@@ -1,0 +1,130 @@
+"""spark-submit entry points: build / search / filter.
+
+Mirrors the reference's two CLIs:
+
+* ``Main.main(config.json)`` — the index-build pipeline
+  (``main/src/main/java/hbz/limetrans/Main.java:111-133``) →
+  ``python -m limetrans_spark.cli build ...`` (or the same file via
+  ``spark-submit --py-files limetrans_spark``).
+* ``filter/Main`` — standalone filter/extract
+  (``main/src/main/java/hbz/limetrans/filter/Main.java:15-23``; options
+  ``-f`` conditions, ``-O`` operator, ``-o`` output, ``-P`` pretty) →
+  ``python -m limetrans_spark.cli filter ...``.
+
+plus the query surface the reference delegates to Elasticsearch:
+``python -m limetrans_spark.cli search --root <index> --query '...'``.
+
+Exit code 1 on any failure (Main.java:115-132 exit-code discipline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .operators import query as Q
+from .operators.filter import Filter
+from .plans import lifecycle as lc
+from .session import get_spark
+
+
+def _add_build(sub):
+    p = sub.add_parser("build", help="build + publish an index snapshot")
+    p.add_argument("--input", required=True, help="parquet path of the corpus table")
+    p.add_argument("--root", required=True, help="index root directory")
+    p.add_argument("--name", default="code")
+    p.add_argument("--generation", required=True, help="snapshot generation id (e.g. 20260816)")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--analyzer", default="code", choices=["code", "simple"])
+    p.add_argument("--shard-size", type=int, default=1 << 17)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--wave-size", type=int, default=4)
+    p.add_argument("--retain", type=int, default=2)
+
+
+def _add_search(sub):
+    p = sub.add_parser("search", help="BM25 top-k query against a published index")
+    p.add_argument("--root", required=True)
+    p.add_argument("--snapshot", default=None)
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--mode", default="df", choices=["df", "wand", "taat"])
+    p.add_argument("--operator", default="and", choices=["and", "or"])
+
+
+def _add_filter(sub):
+    p = sub.add_parser("filter", help="standalone record filter (filter/Main analogue)")
+    p.add_argument("--input", required=True, help="parquet path")
+    p.add_argument("-f", "--cond", action="append", default=[],
+                   help="condition: @f | !f | f=v | f=~re | v | ~re (repeatable)")
+    p.add_argument("-O", "--operator", default="any", choices=["all", "any", "none"])
+    p.add_argument("-o", "--output", default=None, help="output dir (JSONL); stdout if omitted")
+    p.add_argument("-P", "--pretty", action="store_true")
+    p.add_argument("--limit", type=int, default=100, help="stdout row cap")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="limetrans-spark")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_build(sub)
+    _add_search(sub)
+    _add_filter(sub)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(
+        app_name=f"limetrans-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "build":
+            corpus = spark.read.parquet(args.input)
+            rep = lc.build_and_publish(
+                corpus, args.root, args.name, args.generation,
+                text_col=args.text_col, analyzer=args.analyzer,
+                shard_size=args.shard_size, n_buckets=args.buckets,
+                wave_size=args.wave_size, retain=args.retain,
+            )
+            print(json.dumps({
+                "snapshot": rep.snapshot,
+                "n_docs": rep.index.n_docs,
+                "avgdl": rep.index.avgdl,
+                "resumed_buckets": rep.metrics["resumed_buckets"],
+                "n_postings": rep.metrics["n_postings"],
+            }))
+        elif args.cmd == "search":
+            idx = lc.load_index(spark, args.root, args.snapshot)
+            if args.mode == "df":
+                out = Q.bm25_topk_df(idx, args.query, k=args.k)
+            else:
+                out = Q.bm25_topk_sharded(
+                    idx, args.query, k=args.k,
+                    operator=args.operator, algorithm=args.mode,
+                )
+            for r in out.collect():
+                print(json.dumps({"doc_id": r["doc_id"], "score": round(r["score"], 6)}))
+        elif args.cmd == "filter":
+            df = spark.read.parquet(args.input)
+            flt = Filter(args.operator, list(args.cond))
+            out = df.filter(flt.compile(df.columns))
+            if args.output:
+                out.write.mode("overwrite").json(args.output)
+                print(json.dumps({"written": args.output, "rows": out.count()}))
+            else:
+                for r in out.limit(args.limit).collect():
+                    d = r.asDict(recursive=True)
+                    print(json.dumps(d, indent=2 if args.pretty else None, default=str))
+        return 0
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -154,6 +154,12 @@ def doc_lengths(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id").agg((F.max("pos") + 1).cast("long").alias("dl"))
 
 
+def doc_lengths_from_postings(postings: DataFrame) -> DataFrame:
+    """dl = Σ tf — valid ONLY for analyzers without overlap tokens (the
+    ``simple`` analyzer); saves a full tokenize pass + shuffle."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+
+
 def term_stats(postings: DataFrame) -> DataFrame:
     """term → df (doc count), cf (collection tf), max_tf (WAND global bound)."""
     return postings.groupBy("term").agg(
@@ -321,7 +327,9 @@ def build_index(
 
     toks = tokenize(docs, text_col, analyzer)
     postings = flat_postings(toks, with_positions=with_positions).persist()
-    doclens = doc_lengths(toks).persist()
+    doclens = (
+        doc_lengths_from_postings(postings) if analyzer == "simple" else doc_lengths(toks)
+    ).persist()
     n_docs, avgdl = corpus_stats(doclens)
     terms = term_stats(postings)
     shards = build_shards(postings, shard_size=shard_size)

@@ -1,0 +1,316 @@
+"""Index lifecycle: snapshots, atomic alias swap, retention, resumable
+checkpointed builds with per-partition lineage + metrics.
+
+Mirrors the reference's Elasticsearch index lifecycle
+(``core/src/main/java/hbz/limetrans/ElasticsearchClient.java``):
+
+* dated generation naming ``name-YYYYMMDD[-seq]``  (``:95-101,387-397``)
+* ``switchIndex``: atomic alias move after a fully successful bulk,
+  skipped on failure or zero docs                   (``:272-309``)
+* ``retainIndexes``: keep the newest ``retain`` old generations
+  (default 2), delete the rest                      (``:317-359,49``)
+* bulk counters / failure accounting → build fails  (``:427-449``)
+
+plus the north-rule additions the reference lacks: per-partition build
+checkpoints with lineage (resume skips completed buckets) and build
+metrics.
+
+Layout under ``root/``::
+
+    manifest.json                     # {"current": "<snapshot-name>"}  (alias)
+    snapshots/<name>/manifest.json    # stats + config + metrics + lineage
+    snapshots/<name>/{docstore,postings,terms,shards}/   (parquet)
+    checkpoints/<build-id>/bucket=<b>/          (postings runs, parquet)
+    checkpoints/<build-id>/_bucket_<b>.json     (per-bucket lineage marker)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.build import (
+    BuiltIndex,
+    assign_doc_ids,
+    build_shards,
+    corpus_stats,
+    doc_lengths,
+    doc_lengths_from_postings,
+    flat_postings,
+    term_stats,
+    tokenize,
+    verify_sha256,
+)
+
+ALIAS_FILE = "manifest.json"
+DEFAULT_RETAIN = 2  # ElasticsearchClient.java:49
+
+
+# --------------------------------------------------------------------------
+# snapshots + alias + retention
+# --------------------------------------------------------------------------
+
+
+def _alias_path(root: str) -> str:
+    return os.path.join(root, ALIAS_FILE)
+
+
+def current_snapshot(root: str) -> str | None:
+    p = _alias_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("current")
+
+
+def switch_alias(root: str, snapshot_name: str) -> None:
+    """Atomic pointer swap (switchIndex analogue): write-temp + rename."""
+    tmp = _alias_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"current": snapshot_name, "switched_at": time.time()}, f)
+    os.replace(tmp, _alias_path(root))
+
+
+def list_snapshots(root: str) -> list[str]:
+    d = os.path.join(root, "snapshots")
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d))
+
+
+def retain_snapshots(root: str, retain: int = DEFAULT_RETAIN) -> list[str]:
+    """Delete all but the newest ``retain`` non-current generations
+    (retainIndexes analogue; the current snapshot is always kept)."""
+    cur = current_snapshot(root)
+    gens = [s for s in list_snapshots(root) if s != cur]
+    doomed = gens[: max(0, len(gens) - retain)]
+    for name in doomed:
+        shutil.rmtree(os.path.join(root, "snapshots", name), ignore_errors=True)
+    return doomed
+
+
+def save_index(
+    idx: BuiltIndex,
+    root: str,
+    name: str,
+    generation: str,
+    publish: bool = True,
+    retain: int = DEFAULT_RETAIN,
+    extra_metrics: dict | None = None,
+) -> str:
+    """Write a full snapshot; on success swap the alias and prune old
+    generations.  Publishes nothing on failure or an empty build
+    (mirrors the skip guards at ElasticsearchClient.java:284-294)."""
+    snap_name = f"{name}-{generation}"
+    snap = os.path.join(root, "snapshots", snap_name)
+    os.makedirs(snap, exist_ok=True)
+    t0 = time.time()
+    idx.docstore.write.mode("overwrite").parquet(os.path.join(snap, "docstore"))
+    idx.postings.write.mode("overwrite").parquet(os.path.join(snap, "postings"))
+    idx.terms.write.mode("overwrite").parquet(os.path.join(snap, "terms"))
+    idx.shards.write.mode("overwrite").parquet(os.path.join(snap, "shards"))
+    manifest = {
+        "name": name,
+        "generation": generation,
+        "n_docs": idx.n_docs,
+        "avgdl": idx.avgdl,
+        "shard_size": idx.shard_size,
+        "metrics": {**idx.metrics, **(extra_metrics or {}), "write_sec": round(time.time() - t0, 3)},
+    }
+    with open(os.path.join(snap, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    if publish and idx.n_docs > 0:
+        switch_alias(root, snap_name)
+        retain_snapshots(root, retain)
+    return snap
+
+
+def load_index(spark: SparkSession, root: str, snapshot: str | None = None) -> BuiltIndex:
+    """Open a snapshot (default: the alias target) for querying.
+
+    The returned frames read straight from parquet — term-predicate
+    queries prune via parquet min/max stats on the term-sorted files."""
+    snap_name = snapshot or current_snapshot(root)
+    if snap_name is None:
+        raise FileNotFoundError(f"no current snapshot under {root}")
+    snap = os.path.join(root, "snapshots", snap_name)
+    with open(os.path.join(snap, "manifest.json")) as f:
+        m = json.load(f)
+    docstore = spark.read.parquet(os.path.join(snap, "docstore"))
+    postings = spark.read.parquet(os.path.join(snap, "postings"))
+    terms = spark.read.parquet(os.path.join(snap, "terms"))
+    shards = spark.read.parquet(os.path.join(snap, "shards"))
+    doclens = docstore.select("doc_id", "dl")
+    return BuiltIndex(
+        docstore=docstore,
+        postings=postings,
+        shards=shards,
+        terms=terms,
+        doclens=doclens,
+        n_docs=m["n_docs"],
+        avgdl=m["avgdl"],
+        shard_size=m["shard_size"],
+        metrics=m.get("metrics", {}),
+    )
+
+
+# --------------------------------------------------------------------------
+# checkpointed, resumable build
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class BuildReport:
+    index: BuiltIndex
+    snapshot: str
+    metrics: dict
+
+
+def _marker_path(ckpt: str, bucket: int) -> str:
+    return os.path.join(ckpt, f"_bucket_{bucket}.json")
+
+
+def _done_buckets(ckpt: str, n_buckets: int) -> set[int]:
+    return {b for b in range(n_buckets) if os.path.exists(_marker_path(ckpt, b))}
+
+
+def checkpointed_postings(
+    docs: DataFrame,
+    ckpt: str,
+    n_buckets: int = 16,
+    wave_size: int = 4,
+    text_col: str = "content",
+    analyzer: str = "code",
+    with_positions: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Build flat postings in resumable bucket waves.
+
+    Buckets are a deterministic hash of ``doc_id`` (cluster-size
+    independent).  Each wave processes ``wave_size`` buckets in one Spark
+    job writing ``bucket=<b>/`` partitions (dynamic-overwrite → idempotent
+    retries), then commits one lineage marker per bucket: row/posting
+    counts, an order-independent input fingerprint (sum of doc_id·prime
+    mod 2^61), and wall time.  Resume = skip buckets whose marker exists;
+    a killed build restarts at the first incomplete wave.
+
+    Returns (postings_df read back from the run directory, metrics).
+    """
+    spark = docs.sparkSession
+    os.makedirs(ckpt, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucket_col = F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+    done = _done_buckets(ckpt, n_buckets)
+    pending = [b for b in range(n_buckets) if b not in done]
+    metrics: dict = {
+        "n_buckets": n_buckets,
+        "resumed_buckets": len(done),
+        "built_buckets": len(pending),
+        "waves": [],
+    }
+    runs_dir = os.path.join(ckpt, "runs")
+    for w0 in range(0, len(pending), wave_size):
+        wave = pending[w0 : w0 + wave_size]
+        t0 = time.time()
+        sub = docs.withColumn("_bucket", bucket_col).filter(F.col("_bucket").isin(wave))
+        toks = tokenize(sub.select("doc_id", text_col), text_col, analyzer)
+        p = flat_postings(toks, with_positions=with_positions).withColumn(
+            "bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        p.write.mode("overwrite").partitionBy("bucket").parquet(runs_dir)
+        # lineage per bucket (one small job over the wave's output)
+        stats = {
+            r["bucket"]: r
+            for r in spark.read.parquet(runs_dir)
+            .filter(F.col("bucket").isin(wave))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_postings"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                # order-independent lineage fingerprint; decimal sum so the
+                # accumulator can't overflow (ANSI mode) at any row count
+                F.sum(
+                    F.pmod(F.col("doc_id") * 31 + F.col("tf"), F.lit(1000000007))
+                    .cast("decimal(38,0)")
+                ).alias("fingerprint"),
+            )
+            .collect()
+        }
+        wall = round(time.time() - t0, 3)
+        for b in wave:
+            r = stats.get(b)
+            with open(_marker_path(ckpt, b), "w") as f:
+                json.dump(
+                    {
+                        "bucket": b,
+                        "n_postings": int(r["n_postings"]) if r else 0,
+                        "n_docs": int(r["n_docs"]) if r else 0,
+                        "fingerprint": int(r["fingerprint"]) if r else 0,
+                        "wave_sec": wall,
+                        "committed_at": time.time(),
+                    },
+                    f,
+                )
+        metrics["waves"].append({"buckets": wave, "sec": wall})
+    lineage = []
+    for b in range(n_buckets):
+        with open(_marker_path(ckpt, b)) as f:
+            lineage.append(json.load(f))
+    metrics["lineage"] = lineage
+    metrics["n_postings"] = sum(m["n_postings"] for m in lineage)
+    return spark.read.parquet(runs_dir).drop("bucket"), metrics
+
+
+def build_and_publish(
+    corpus: DataFrame,
+    root: str,
+    name: str,
+    generation: str,
+    text_col: str = "content",
+    keys: tuple[str, ...] = ("repo", "path", "commit"),
+    analyzer: str = "code",
+    shard_size: int = 1 << 17,
+    n_buckets: int = 16,
+    wave_size: int = 4,
+    retain: int = DEFAULT_RETAIN,
+) -> BuildReport:
+    """Full lifecycle: ids → sha check → checkpointed postings → stats →
+    shards → snapshot → alias swap → retention.  The checkpoint dir is
+    keyed by (name, generation): re-running the same generation resumes."""
+    t_start = time.time()
+    docs = corpus if "doc_id" in corpus.columns else assign_doc_ids(corpus, keys)
+    docs = verify_sha256(docs, text_col) if text_col in docs.columns else docs
+    docs = docs.persist()
+    ckpt = os.path.join(root, "checkpoints", f"{name}-{generation}")
+    postings, ck_metrics = checkpointed_postings(
+        docs, ckpt, n_buckets=n_buckets, wave_size=wave_size,
+        text_col=text_col, analyzer=analyzer,
+    )
+    postings = postings.persist()
+    if analyzer == "simple":
+        doclens = doc_lengths_from_postings(postings).persist()
+    else:
+        toks = tokenize(docs.select("doc_id", text_col), text_col, analyzer)
+        doclens = doc_lengths(toks).persist()
+    n_docs, avgdl = corpus_stats(doclens)
+    idx = BuiltIndex(
+        docstore=docs.join(doclens, "doc_id", "left").fillna({"dl": 0}),
+        postings=postings,
+        shards=build_shards(postings, shard_size=shard_size),
+        terms=term_stats(postings),
+        doclens=doclens,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        shard_size=shard_size,
+        metrics={"analyzer": analyzer, "n_docs": n_docs, "avgdl": avgdl},
+    )
+    snap = save_index(
+        idx, root, name, generation, retain=retain,
+        extra_metrics={**ck_metrics, "build_sec": round(time.time() - t_start, 3)},
+    )
+    return BuildReport(index=idx, snapshot=snap, metrics=ck_metrics)

@@ -1,0 +1,117 @@
+"""Structured Streaming ingest — the incremental-harvest surface.
+
+The reference's only streaming-ish source is the OAI-PMH incremental
+harvester (``core/src/main/java/hbz/limetrans/util/OaiPmhQueue.java:18-59``:
+poll an endpoint for records in a [from, until) window and replay them
+through the batch pipeline).  The idiomatic Spark equivalent is a
+Structured Streaming file/queue source feeding the same transformations:
+
+* :func:`corpus_stream`        — ``readStream`` over a landing directory
+  of newline-JSON corpus records (new files = new harvest windows).
+* :func:`windowed_event_counts`— watermarked tumbling-window aggregation
+  (late data handled by the watermark, not by reprocessing).
+* :func:`incremental_index`    — ``foreachBatch`` incremental indexing:
+  each micro-batch appends a postings delta partitioned by batch, the
+  streaming analogue of the reference's bulk-update path
+  (``ElasticsearchIndexer.java:88-164``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.build import flat_postings, tokenize
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def corpus_stream(spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 16) -> DataFrame:
+    """File-arrival stream of corpus records (JSONL, one record per line)."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts (late rows beyond the watermark
+    are dropped; state is bounded — required for unbounded streams)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(group_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "n_events",
+        )
+    )
+
+
+def incremental_index(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "content",
+    analyzer: str = "code",
+):
+    """foreachBatch incremental indexer: tokenize each micro-batch and
+    append its postings delta under ``batch=<id>/``.  Exactly-once per
+    batch via the streaming checkpoint; a compaction job (the normal
+    batch build over the union) folds deltas into a new snapshot —
+    mirroring the reference's daily-rebuild + incremental-update split.
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = tokenize(batch_df.select("doc_id", text_col), text_col, analyzer)
+        delta = flat_postings(toks, with_positions=False).withColumn(
+            "batch", F.lit(batch_id)
+        )
+        delta.write.mode("append").partitionBy("batch").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_postings_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all appended deltas, newest batch wins per (term, doc_id)
+    (last-write-wins on re-indexed docs, ElasticsearchIndexerTest
+    replace semantics)."""
+    if not os.path.isdir(out_dir):
+        raise FileNotFoundError(out_dir)
+    deltas = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term", "doc_id").orderBy(F.col("batch").desc())
+    return (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch")
+    )

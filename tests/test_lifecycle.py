@@ -1,0 +1,97 @@
+"""Lifecycle: snapshot publish/load round-trip, atomic alias swap,
+retention of 2 old generations, checkpointed resume with lineage
+(north_rule: resumable from per-partition checkpoints)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from limetrans_spark.operators import query as Q
+from limetrans_spark.operators.build import build_index
+from limetrans_spark.plans import lifecycle as lc
+from limetrans_spark.sources.corpus import synth_corpus
+
+N_DOCS = 100
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "index_root")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, N_DOCS, max_tokens=200, partitions=4).persist()
+
+
+def test_publish_load_query_identity(spark, corpus, root):
+    rep = lc.build_and_publish(
+        corpus, root, "code", "g1", shard_size=32, n_buckets=4, wave_size=2
+    )
+    assert lc.current_snapshot(root) == "code-g1"
+    loaded = lc.load_index(spark, root)
+    a = Q.bm25_topk_df(rep.index, "tokenize score", k=10).collect()
+    b = Q.bm25_topk_df(loaded, "tokenize score", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    c = Q.bm25_topk_sharded(loaded, "tokenize | score", k=10).collect()
+    d = Q.bm25_topk_sharded(rep.index, "tokenize | score", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in c] == [
+        (r["doc_id"], r["score"]) for r in d
+    ]
+    # manifest carries stats + lineage metrics
+    with open(os.path.join(rep.snapshot, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_docs"] == N_DOCS
+    assert m["metrics"]["n_postings"] > 0
+    assert len(m["metrics"]["lineage"]) == 4
+
+
+def test_resume_skips_done_buckets(spark, corpus, root):
+    docs = lc.assign_doc_ids(corpus)
+    ckpt = os.path.join(root, "checkpoints", "t")
+    # wave 1 only: simulate an interrupted build by restricting to 2 buckets
+    p1, m1 = lc.checkpointed_postings(
+        docs, ckpt, n_buckets=4, wave_size=2, analyzer="code"
+    )
+    assert m1["resumed_buckets"] == 0 and m1["built_buckets"] == 4
+    full = {(r["term"], r["doc_id"]): r["tf"] for r in p1.collect()}
+
+    # delete two markers → those buckets must rebuild, others resume
+    os.remove(os.path.join(ckpt, "_bucket_1.json"))
+    os.remove(os.path.join(ckpt, "_bucket_3.json"))
+    p2, m2 = lc.checkpointed_postings(
+        docs, ckpt, n_buckets=4, wave_size=2, analyzer="code"
+    )
+    assert m2["resumed_buckets"] == 2 and m2["built_buckets"] == 2
+    again = {(r["term"], r["doc_id"]): r["tf"] for r in p2.collect()}
+    assert again == full
+    # lineage fingerprints identical across resume (deterministic build)
+    fp1 = {m["bucket"]: m["fingerprint"] for m in m1["lineage"]}
+    fp2 = {m["bucket"]: m["fingerprint"] for m in m2["lineage"]}
+    assert fp1 == fp2
+
+
+def test_retention_and_alias(spark, corpus, root):
+    idx = build_index(corpus, shard_size=64)
+    for g in ["g1", "g2", "g3", "g4"]:
+        lc.save_index(idx, root, "code", g, retain=2)
+    # current = g4; retain 2 old generations → g1 deleted, g2/g3 kept
+    assert lc.current_snapshot(root) == "code-g4"
+    assert lc.list_snapshots(root) == ["code-g2", "code-g3", "code-g4"]
+
+
+def test_no_publish_on_empty_build(spark, root):
+    empty = spark.createDataFrame([], "repo string, path string, commit string, lang string, content string")
+    idx = build_index(empty, shard_size=64)
+    lc.save_index(idx, root, "code", "g0", retain=2)
+    # zero-doc build must NOT become the alias target (switchIndex guard)
+    assert lc.current_snapshot(root) is None
+
+
+def test_load_without_snapshot_raises(spark, root):
+    with pytest.raises(FileNotFoundError):
+        lc.load_index(spark, root)

@@ -1,0 +1,138 @@
+"""Structured Streaming ingest + multimodal binary plumbing +
+standard-number validation."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from limetrans_spark.multimodal.binary import (
+    decode_assets,
+    extract_embeddings,
+    sample_frames,
+)
+from limetrans_spark.streaming import ingest
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_incremental_index(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        f"{landing}/harvest1.jsonl",
+        [
+            {"doc_id": 0, "repo": "r", "path": "a", "commit": "c1", "lang": "py",
+             "content": "parse json fast"},
+            {"doc_id": 1, "repo": "r", "path": "b", "commit": "c2", "lang": "py",
+             "content": "merge segments slowly"},
+        ],
+    )
+    stream = ingest.corpus_stream(spark, landing)
+    q = ingest.incremental_index(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    # second harvest window: new doc + re-index of doc 1 (replace semantics)
+    _write_jsonl(
+        f"{landing}/harvest2.jsonl",
+        [
+            {"doc_id": 1, "repo": "r", "path": "b", "commit": "c3", "lang": "py",
+             "content": "merge merge merge"},
+            {"doc_id": 2, "repo": "r", "path": "c", "commit": "c4", "lang": "py",
+             "content": "tokenize stream"},
+        ],
+    )
+    q2 = ingest.incremental_index(ingest.corpus_stream(spark, landing), out, ckpt)
+    q2.awaitTermination(120)
+
+    merged = ingest.read_postings_deltas(spark, out)
+    by_key = {(r["term"], r["doc_id"]): r["tf"] for r in merged.collect()}
+    assert by_key[("parse", 0)] == 1
+    assert by_key[("merge", 1)] == 3  # batch 2 wins (last-write)
+    assert by_key[("tokenize", 2)] == 1
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    # watermark semantics exercised via the batch-equivalent aggregation
+    ev = spark.createDataFrame(
+        [("2020-01-01 10:05:00", "click"), ("2020-01-01 10:55:00", "click"),
+         ("2020-01-01 11:05:00", "view")],
+        "ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ingest.windowed_event_counts(ev, window="1 hour")
+    rows = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in out.collect()}
+    assert rows[("2020-01-01 10:00:00", "click")] == 2
+    assert rows[("2020-01-01 11:00:00", "view")] == 1
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (0, "image", bytes([7, 3] + list(range(100))), {"src": "a"}),
+        (1, "video", bytes(range(64)), {"src": "b"}),
+        (2, "audio", b"", {}),
+    ]
+    return spark.createDataFrame(rows, "asset_id long, kind string, payload binary, meta map<string,string>")
+
+
+def test_decode_assets(assets):
+    out = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    assert out[0]["width"] == 8 and out[0]["height"] == 4
+    assert out[0]["n_bytes"] == 102
+    assert out[2]["n_bytes"] == 0
+    # deterministic across re-runs
+    again = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    assert out[0]["sha256"] == again[0]["sha256"]
+
+
+def test_sample_frames_fanout(assets):
+    frames = sample_frames(assets, n_frames=4).collect()
+    assert len(frames) == 4  # only the video row fans out
+    assert sorted({f["asset_id"] for f in frames}) == [1]
+    assert sorted(f["frame_no"] for f in frames) == [0, 1, 2, 3]
+    assert all(len(f["frame_bytes"]) > 0 for f in frames)
+
+
+def test_extract_embeddings_unit_norm(assets):
+    import math
+
+    out = {r["asset_id"]: r["embedding"] for r in extract_embeddings(assets).collect()}
+    assert len(out[0]) == 16
+    n = math.sqrt(sum(x * x for x in out[0]))
+    assert abs(n - 1.0) < 1e-5
+    # same payload → same embedding; different payloads differ
+    assert out[0] != out[1]
+
+
+def test_standard_numbers(spark):
+    from limetrans_spark.functions.standard_number import standard_number_udf
+
+    df = spark.createDataFrame(
+        [("0-306-40615-2",), ("9780306406157",), ("0-306-40615-3",), (None,)],
+        "raw string",
+    )
+    out = df.select(standard_number_udf("ISBN")(F.col("raw")).alias("r")).collect()
+    r0, r1, r2, r3 = [r["r"] for r in out]
+    assert r0["valid"] and r0["preferred"] == "9780306406157"
+    assert "0306406152" in r0["variants"]
+    assert r1["valid"] and "0306406152" in r1["variants"]
+    assert not r2["valid"]  # bad check digit
+    assert not r3["valid"]
+
+    issn = spark.createDataFrame([("0378-5955",), ("0378-5954",)], "raw string")
+    rr = issn.select(standard_number_udf("ISSN")(F.col("raw")).alias("r")).collect()
+    assert rr[0]["r"]["valid"] and rr[0]["r"]["preferred"] == "0378-5955"
+    assert not rr[1]["r"]["valid"]
+
+    # mod-11, weights 2.. from the right: 2073457 → 118 % 11 = 8
+    zdb = spark.createDataFrame([("2073457-8",), ("2073457-4",)], "raw string")
+    zz = zdb.select(standard_number_udf("ZDB")(F.col("raw")).alias("r")).collect()
+    assert zz[0]["r"]["valid"] and zz[0]["r"]["preferred"] == "2073457-8"
+    assert not zz[1]["r"]["valid"]
