@@ -127,6 +127,31 @@ def code_tokens_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: code_tokenize_py(t) if t is not None else [])
 
 
+def invert_py(text: str, analyzer: str = "code") -> tuple[int, list[tuple[str, int, list[int]]]]:
+    """Tokenize AND invert one document: → (dl, [(term, tf, positions)]).
+
+    This is the map-side half of SPIMI: the per-document posting
+    fragments are built where the text lives, so the cluster never
+    shuffles raw tokens — only (doc, term, tf, positions) rows, ~3×
+    smaller and already aggregated.  Terms sorted for determinism.
+    """
+    if not text:
+        return 0, []
+    if analyzer == "code":
+        toks = code_tokenize_py(text)
+        dl = (max(p for _, p in toks) + 1) if toks else 0
+    else:
+        terms = simple_tokenize_py(text)
+        toks = list(zip(terms, range(len(terms))))
+        dl = len(toks)
+    acc: dict[str, list[int]] = {}
+    for term, pos in toks:
+        acc.setdefault(term, []).append(pos)
+    return dl, [
+        (term, len(ps), sorted(ps)) for term, ps in sorted(acc.items())
+    ]
+
+
 # --- query-side analysis ------------------------------------------------------
 
 

@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.analysis import code_tokens_udf, simple_tokens
+from ..functions.analysis import code_tokens_udf, invert_py, simple_tokens
 from . import codec
 
 DEFAULT_SHARD_SIZE = 1 << 17  # docs per shard; ~1M+ in prod, small here
@@ -141,11 +141,56 @@ def tokenize(docs: DataFrame, text_col: str = "content", analyzer: str = "code")
 
 
 def flat_postings(tokens: DataFrame, with_positions: bool = True) -> DataFrame:
-    """(term, doc_id) → tf [+ sorted positions]. Partial-agg friendly."""
+    """(term, doc_id) → tf [+ sorted positions]. Partial-agg friendly.
+
+    NOTE: kept for the streaming delta path; the batch build uses
+    :func:`invert_docs` instead — a ``(term, doc)`` collect_list
+    aggregation over the exploded token stream degenerates to sort-based
+    spilling under ObjectHashAggregate's key-count fallback and stops
+    scaling past ~8 cores (measured 4× slow-down at 32)."""
     aggs = [F.count("*").cast("int").alias("tf")]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return tokens.groupBy("term", "doc_id").agg(*aggs)
+
+
+INVERT_SCHEMA = (
+    "doc_id long, dl long, "
+    "postings array<struct<term:string,tf:int,positions:array<int>>>"
+)
+
+
+def invert_docs(docs: DataFrame, text_col: str = "content", analyzer: str = "code") -> DataFrame:
+    """Map-side document inversion (the SPIMI mapper): one Arrow pass
+    computes, per document, its length and its sorted (term, tf,
+    positions) fragments.  No shuffle — raw tokens never leave the task
+    that tokenized them.  → (doc_id, dl, postings nested array)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            inv = [invert_py(t, analyzer) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dl": [d for d, _ in inv],
+                    "postings": [p for _, p in inv],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(fn, INVERT_SCHEMA)
+
+
+def explode_postings(inverted: DataFrame) -> DataFrame:
+    """Nested per-doc fragments → flat (term, doc_id, tf, positions).
+    Narrow (no shuffle); backed by the inverted cache."""
+    return inverted.select(
+        "doc_id", F.explode("postings").alias("p")
+    ).select(
+        F.col("p.term").alias("term"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
+    )
 
 
 def doc_lengths(tokens: DataFrame) -> DataFrame:
@@ -158,6 +203,15 @@ def doc_lengths_from_postings(postings: DataFrame) -> DataFrame:
     """dl = Σ tf — valid ONLY for analyzers without overlap tokens (the
     ``simple`` analyzer); saves a full tokenize pass + shuffle."""
     return postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+
+
+def doc_lengths_from_positions(postings: DataFrame) -> DataFrame:
+    """dl = max(last position)+1 from positional postings — overlap-correct
+    for ANY analyzer, and avoids re-tokenizing the corpus (positions are
+    sorted, so the last element is the per-(term,doc) max)."""
+    return postings.groupBy("doc_id").agg(
+        (F.max(F.element_at("positions", -1)) + 1).cast("long").alias("dl")
+    )
 
 
 def term_stats(postings: DataFrame) -> DataFrame:
@@ -226,6 +280,9 @@ def _spimi_writer(shard_size: int):
             out_rows: list[dict] = []
             shards = pdf["shard"].to_numpy()
             terms = pdf["term"].to_numpy()
+            doc_arr = pdf["doc_id"].to_numpy()
+            tf_arr = pdf["tf"].to_numpy()
+            pos_list = pdf["positions"].tolist()
             # boundaries of (shard, term) runs within this batch
             change = np.empty(len(pdf), dtype=bool)
             change[0] = True
@@ -238,9 +295,9 @@ def _spimi_writer(shard_size: int):
                     if cur_key is not None:
                         out_rows.append(flush())
                     cur_key, docs, tfs, poss = key, [], [], []
-                docs.append(pdf["doc_id"].to_numpy()[s:e])
-                tfs.append(pdf["tf"].to_numpy()[s:e])
-                poss.append(list(pdf["positions"].iloc[s:e]))
+                docs.append(doc_arr[s:e])
+                tfs.append(tf_arr[s:e])
+                poss.append(pos_list[s:e])
             if out_rows:
                 yield pd.DataFrame(out_rows)
         if cur_key is not None:
@@ -325,11 +382,12 @@ def build_index(
     docs = verify_sha256(docs, text_col) if text_col in docs.columns else docs
     docs = docs.persist()
 
-    toks = tokenize(docs, text_col, analyzer)
-    postings = flat_postings(toks, with_positions=with_positions).persist()
-    doclens = (
-        doc_lengths_from_postings(postings) if analyzer == "simple" else doc_lengths(toks)
-    ).persist()
+    inverted = invert_docs(docs, text_col, analyzer).persist()
+    postings = explode_postings(inverted)
+    if not with_positions:
+        postings = postings.drop("positions")
+    # stats over docs that contain ≥1 token (Lucene field docCount)
+    doclens = inverted.filter(F.col("dl") > 0).select("doc_id", "dl").persist()
     n_docs, avgdl = corpus_stats(doclens)
     terms = term_stats(postings)
     shards = build_shards(postings, shard_size=shard_size)

@@ -131,21 +131,40 @@ def decode_postings(
 
 
 def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
-    """Concatenate per-posting position lists, each delta-gapped. Counts == tf."""
+    """Concatenate per-posting position lists, each delta-gapped.
+    Counts == tf.  Fully vectorized: one concat, one subtract, one
+    boundary reset — no per-posting Python (7M+ lists per shard run
+    through here)."""
     if not positions_per_doc:
         return b""
-    gapped = [delta_encode(np.asarray(p, dtype=np.int64)) for p in positions_per_doc]
-    return varint_encode(np.concatenate(gapped) if gapped else np.zeros(0))
+    lens = np.fromiter(
+        (len(p) for p in positions_per_doc), dtype=np.int64, count=len(positions_per_doc)
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions_per_doc if len(p)])
+    gaps = flat.copy()
+    gaps[1:] -= flat[:-1]
+    boundaries = np.cumsum(lens)[:-1]
+    boundaries = boundaries[boundaries < total]
+    gaps[boundaries] = flat[boundaries]  # delta restarts at each list head
+    return varint_encode(gaps)
 
 
 def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Vectorized inverse of :func:`encode_positions`: one global cumsum,
+    then subtract each list's carried-in offset."""
     tfs = np.asarray(tfs, dtype=np.int64)
     total = int(tfs.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in tfs]
     flat = varint_decode(blob, total)
-    out: list[np.ndarray] = []
-    off = 0
-    for t in tfs:
-        seg = flat[off : off + int(t)]
-        out.append(np.cumsum(seg))
-        off += int(t)
-    return out
+    csum = np.cumsum(flat)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    carried = np.zeros(tfs.size, dtype=np.int64)
+    nz = starts > 0
+    carried[nz] = csum[starts[nz] - 1]
+    vals = csum - np.repeat(carried, tfs)
+    return np.split(vals, ends[:-1])

@@ -59,9 +59,10 @@ def bm25_idf(n_docs: int, df: int) -> float:
 
 @dataclass
 class Clause:
-    kind: str  # "term" | "phrase" | "prefix"
+    kind: str  # "term" | "phrase" | "prefix" | "fuzzy"
     terms: tuple[str, ...]
     negated: bool = False
+    fuzz: int = 0  # max edit distance for kind == "fuzzy"
 
 
 @dataclass
@@ -81,11 +82,14 @@ class ParsedQuery:
 
 
 _QTOKEN = re.compile(r"-?\"[^\"]*\"|\||\S+")
+_FUZZY = re.compile(r"^(.*)~(\d)$")
 
 
 def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
     """simple_query_string subset: whitespace = AND, ``|`` = OR,
-    ``-x`` = NOT, ``"a b"`` = phrase, ``t*`` = prefix."""
+    ``-x`` = NOT, ``"a b"`` = phrase, ``t*`` = prefix, ``t~N`` = fuzzy
+    (the reference enables OR|NOT|PREFIX|PHRASE|FUZZY|…,
+    ElasticsearchQueryTest.java:53)."""
     pq = ParsedQuery()
     pending_or = False
     for m in _QTOKEN.finditer(q):
@@ -96,12 +100,17 @@ def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
         negated = tok.startswith("-")
         if negated:
             tok = tok[1:]
+        fz = _FUZZY.match(tok)
         if tok.startswith('"') and tok.endswith('"'):
             terms = tuple(analyze(tok[1:-1]))
             clause = Clause("phrase", terms, negated)
         elif tok.endswith("*"):
             stem = analyze(tok[:-1])
             clause = Clause("prefix", tuple(stem[-1:]), negated)
+        elif fz and analyze(fz.group(1)):
+            clause = Clause(
+                "fuzzy", tuple(analyze(fz.group(1))[-1:]), negated, fuzz=int(fz.group(2))
+            )
         else:
             terms = tuple(analyze(tok))
             if not terms:
@@ -177,8 +186,12 @@ def _clause_docs_df(index: BuiltIndex, clause: Clause) -> DataFrame:
         return p.filter(F.col("term") == clause.terms[0]).select("doc_id").distinct()
     if clause.kind == "phrase":
         return phrase_match_df(p, clause.terms)
-    if clause.kind == "prefix":
-        expanded = _expand_prefix(index, clause.terms[0])
+    if clause.kind in ("prefix", "fuzzy"):
+        expanded = (
+            _expand_prefix(index, clause.terms[0])
+            if clause.kind == "prefix"
+            else _expand_fuzzy(index, clause.terms[0], clause.fuzz)
+        )
         return (
             p.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
             if expanded
@@ -190,6 +203,22 @@ def _clause_docs_df(index: BuiltIndex, clause: Clause) -> DataFrame:
 def _expand_prefix(index: BuiltIndex, stem: str) -> list[str]:
     rows = (
         index.terms.filter(F.col("term").startswith(stem))
+        .select("term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(MAX_PREFIX_EXPANSIONS)
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def _expand_fuzzy(index: BuiltIndex, term: str, fuzz: int) -> list[str]:
+    """Fuzzy expansion against the term dictionary: edit distance ≤ fuzz
+    (simple_query_string FUZZY flag).  Length pre-filter prunes the
+    dictionary scan before the levenshtein evaluation."""
+    n = len(term)
+    rows = (
+        index.terms.filter(F.length("term").between(n - fuzz, n + fuzz))
+        .filter(F.levenshtein(F.col("term"), F.lit(term)) <= fuzz)
         .select("term")
         .orderBy(F.col("df").desc(), "term")
         .limit(MAX_PREFIX_EXPANSIONS)
@@ -285,6 +314,8 @@ def bm25_topk_df(
                 continue
             if c.kind == "prefix":
                 score_terms.update(_expand_prefix(index, c.terms[0]))
+            elif c.kind == "fuzzy":
+                score_terms.update(_expand_fuzzy(index, c.terms[0], c.fuzz))
             else:
                 score_terms.update(c.terms)
     docs = matching_docs_df(index, pq)
@@ -458,6 +489,60 @@ def _wand_topk(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float
     )
 
 
+def _phrase_docs_shard(plists: dict, terms: tuple[str, ...], base: int) -> np.ndarray:
+    """Positional phrase intersection inside one shard → matching doc_ids.
+
+    Positions are decoded lazily from the phrase terms' blobs only for
+    docs surviving the doc-level intersection."""
+    if any(t not in plists for t in terms):
+        return np.zeros(0, dtype=np.int64)
+    cand = plists[terms[0]]["docs"]
+    for t in terms[1:]:
+        cand = np.intersect1d(cand, plists[t]["docs"], assume_unique=True)
+    if cand.size == 0:
+        return cand
+    pos_by_term = {}
+    for t in set(terms):
+        pl = plists[t]
+        if len(pl["pos_blob"]) == 0 and int(pl["tfs"].sum()) > 0:
+            raise ValueError("phrase query requires an index built with_positions=True")
+        pos_by_term[t] = codec.decode_positions(pl["pos_blob"], pl["tfs"])
+    out = []
+    for doc in cand:
+        ends = None
+        ok = True
+        for i, t in enumerate(terms):
+            pl = plists[t]
+            j = int(np.searchsorted(pl["docs"], doc))
+            pos = pos_by_term[t][j]
+            ends = pos if ends is None else np.intersect1d(ends + 1, pos)
+            if ends.size == 0:
+                ok = False
+                break
+        if ok:
+            out.append(int(doc))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _clause_key(clause: Clause) -> tuple:
+    """Value key for expansion lookup — survives pickling to executors
+    (object identity does not)."""
+    return (clause.kind, clause.terms, clause.fuzz)
+
+
+def _clause_docs_shard(plists: dict, clause: Clause, expansions: dict, base: int) -> np.ndarray:
+    if clause.kind == "term":
+        t = clause.terms[0]
+        return plists[t]["docs"] if t in plists else np.zeros(0, dtype=np.int64)
+    if clause.kind == "phrase":
+        return _phrase_docs_shard(plists, clause.terms, base)
+    # prefix/fuzzy: pre-expanded driver-side
+    sets = [plists[t]["docs"] for t in expansions.get(_clause_key(clause), []) if t in plists]
+    if not sets:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(sets))
+
+
 def bm25_topk_sharded(
     index: BuiltIndex,
     query: str | ParsedQuery,
@@ -465,26 +550,53 @@ def bm25_topk_sharded(
     operator: str = "or",
     algorithm: str = "wand",
 ) -> DataFrame:
-    """BM25 top-k over the compressed doc-sharded index.
+    """BM25 top-k over the compressed doc-sharded index — the full
+    boolean surface (AND/OR groups, NOT, positional phrase, prefix,
+    fuzzy), each shard answering locally, global k-merge.
 
     Plan: prune index rows to the query terms (parquet min/max on the
     term-sorted files when reading from disk) → cogroup with per-shard
-    doc lengths → per-shard local top-k (WAND or vectorized TAAT) via
-    ``applyInPandas`` → global ``orderBy(score desc, doc_id).limit(k)``
-    over ≤ k·n_shards rows.
+    doc lengths → per-shard candidate set + scoring (block-max WAND for
+    flat OR queries, vectorized TAAT otherwise) via ``applyInPandas`` →
+    global ``orderBy(score desc, doc_id).limit(k)`` over ≤ k·n_shards
+    rows.
     """
     pq = query if isinstance(query, ParsedQuery) else parse_query(query)
     k = min(k, MAX_HITS)
-    qterms = pq.positive_terms
-    if not qterms:
-        raise ValueError("sharded path requires at least one positive term")
+    # driver-side expansion of prefix/fuzzy clauses against the dictionary
+    expansions: dict[tuple, list[str]] = {}
+    needed: set[str] = set()
+    has_structure = False
+    for g in pq.groups:
+        for c in g:
+            if c.kind == "prefix":
+                expansions[_clause_key(c)] = _expand_prefix(index, c.terms[0])
+            elif c.kind == "fuzzy":
+                expansions[_clause_key(c)] = _expand_fuzzy(index, c.terms[0], c.fuzz)
+            needed.update(expansions.get(_clause_key(c), c.terms))
+            if c.negated or c.kind != "term":
+                has_structure = True
+    score_terms = sorted(
+        {
+            t
+            for g in pq.groups
+            for c in g
+            if not c.negated
+            for t in expansions.get(_clause_key(c), c.terms)
+        }
+    )
+    if not score_terms:
+        raise ValueError("sharded path requires at least one positive clause")
+    qterms = sorted(needed)
     n_docs, avgdl, shard_size = index.n_docs, index.avgdl, index.shard_size
     tstats = {
         r["term"]: int(r["df"])
         for r in index.terms.filter(F.col("term").isin(qterms)).collect()
     }
-    idfs = {t: bm25_idf(n_docs, df) for t, df in tstats.items()}
-    n_query_terms = len(qterms)
+    idfs = {t: bm25_idf(n_docs, tstats.get(t, 0)) for t in score_terms}
+    groups = pq.groups
+    flat = not has_structure  # only positive single-term clauses
+    n_flat_terms = len(score_terms)
 
     rows = index.shards.filter(F.col("term").isin(qterms))
     dls = index.doclens.withColumn(
@@ -492,29 +604,47 @@ def bm25_topk_sharded(
     )
 
     def score_shard(key, pdfs: pd.DataFrame, dlpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
         if pdfs.empty or dlpdf.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return empty
         shard = int(key[0])
         base = shard * shard_size
         dl = np.zeros(shard_size, dtype=np.float64)
         ids = dlpdf["doc_id"].to_numpy() - base
         dl[ids] = dlpdf["dl"].to_numpy()
         plists = _decode_shard_group(pdfs, shard_size)
-        if operator == "and":
-            scores, nmatch = _taat_scores(plists, idfs, dl, base, avgdl)
-            mask = nmatch == n_query_terms
-            cand = np.nonzero(mask)[0]
-            s = scores[cand]
-        elif algorithm == "taat":
-            scores, nmatch = _taat_scores(plists, idfs, dl, base, avgdl)
-            cand = np.nonzero(nmatch > 0)[0]
-            s = scores[cand]
-        else:
-            d, s = _wand_topk(plists, idfs, dl, base, avgdl, k)
+        score_lists = {t: plists[t] for t in score_terms if t in plists}
+        if flat and operator == "or" and algorithm == "wand":
+            d, s = _wand_topk(score_lists, idfs, dl, base, avgdl, k)
             return pd.DataFrame({"doc_id": d, "score": s})
+        scores, nmatch = _taat_scores(score_lists, idfs, dl, base, avgdl)
+        if flat:
+            cand = np.nonzero(
+                nmatch == n_flat_terms if operator == "and" else nmatch > 0
+            )[0]
+        else:
+            # structured query: AND of OR-groups, minus negated clauses
+            mask = np.ones(shard_size, dtype=bool)
+            mask[dl == 0] = False
+            for g in groups:
+                pos = [c for c in g if not c.negated]
+                if not pos:
+                    continue
+                gmask = np.zeros(shard_size, dtype=bool)
+                for c in pos:
+                    d = _clause_docs_shard(plists, c, expansions, base)
+                    gmask[d - base] = True
+                mask &= gmask
+            for g in groups:
+                for c in g:
+                    if c.negated:
+                        d = _clause_docs_shard(plists, c, expansions, base)
+                        mask[d - base] = False
+            cand = np.nonzero(mask)[0]
+        s = scores[cand]
         if cand.size > k:
-            # local top-k: partial-select then exact sort of the k slice
             part = np.argpartition(-s, k - 1)[:k]
             order = part[np.lexsort((cand[part], -s[part]))]
         else:

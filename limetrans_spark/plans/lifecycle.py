@@ -40,11 +40,10 @@ from ..operators.build import (
     assign_doc_ids,
     build_shards,
     corpus_stats,
-    doc_lengths,
-    doc_lengths_from_postings,
-    flat_postings,
+    doc_lengths_from_positions,
+    explode_postings,
+    invert_docs,
     term_stats,
-    tokenize,
     verify_sha256,
 )
 
@@ -218,10 +217,10 @@ def checkpointed_postings(
         wave = pending[w0 : w0 + wave_size]
         t0 = time.time()
         sub = docs.withColumn("_bucket", bucket_col).filter(F.col("_bucket").isin(wave))
-        toks = tokenize(sub.select("doc_id", text_col), text_col, analyzer)
-        p = flat_postings(toks, with_positions=with_positions).withColumn(
-            "bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
-        )
+        p = explode_postings(invert_docs(sub, text_col, analyzer))
+        if not with_positions:
+            p = p.drop("positions")
+        p = p.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
         p.write.mode("overwrite").partitionBy("bucket").parquet(runs_dir)
         # lineage per bucket (one small job over the wave's output)
         stats = {
@@ -292,11 +291,7 @@ def build_and_publish(
         text_col=text_col, analyzer=analyzer,
     )
     postings = postings.persist()
-    if analyzer == "simple":
-        doclens = doc_lengths_from_postings(postings).persist()
-    else:
-        toks = tokenize(docs.select("doc_id", text_col), text_col, analyzer)
-        doclens = doc_lengths(toks).persist()
+    doclens = doc_lengths_from_positions(postings).persist()
     n_docs, avgdl = corpus_stats(doclens)
     idx = BuiltIndex(
         docstore=docs.join(doclens, "doc_id", "left").fillna({"dl": 0}),

@@ -1,0 +1,140 @@
+"""FileQueue scan source, multi-line record decoding, link verification,
+super-join enrichment, fuzzy query expansion."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from limetrans_spark.operators import query as Q
+from limetrans_spark.operators.build import build_index
+from limetrans_spark.operators.links import super_join, verify_links
+from limetrans_spark.sources.corpus import synth_corpus
+from limetrans_spark.sources.filequeue import FileQueue, decode_multiline_records
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    for i, name in enumerate(["b.jsonl", "a.jsonl", "c.txt"]):
+        p = d / name
+        p.write_text('{"id": %d}\n' % i)
+        os.utime(p, (time.time() - 100 * i, time.time() - 100 * i))
+    return str(d)
+
+
+def test_filequeue_glob_sort_max(spark, landing):
+    fq = FileQueue(base=landing, patterns=["*.jsonl"], sort_by="name", order="asc")
+    assert [os.path.basename(f) for f in fq.resolve()] == ["a.jsonl", "b.jsonl"]
+    fq2 = FileQueue(base=landing, patterns=["*.jsonl"], sort_by="mtime", order="desc")
+    assert [os.path.basename(f) for f in fq2.resolve()] == ["b.jsonl", "a.jsonl"]
+    fq3 = FileQueue(base=landing, patterns=["*"], max_files=1, sort_by="name")
+    assert len(fq3.resolve()) == 1
+    # max-age: only files newer than 50s (b was touched now-0, a now-100)
+    fq4 = FileQueue(base=landing, patterns=["*.jsonl"], max_age=50)
+    assert [os.path.basename(f) for f in fq4.resolve()] == ["b.jsonl"]
+
+
+def test_filequeue_read(spark, landing):
+    df = FileQueue(base=landing, patterns=["*.jsonl"], processor="jsonl").read(spark)
+    assert sorted(r["id"] for r in df.collect()) == [0, 1]
+    assert "_source_file" in df.columns
+    empty = FileQueue(base=landing, patterns=["*.nope"]).read(spark, "id long")
+    assert empty.count() == 0
+
+
+def test_multiline_decoder(spark, tmp_path):
+    f = tmp_path / "rec.sisis"
+    f.write_text(
+        "0000:111\n0331:Title One\n0100:Author A\n"
+        "0000:222\n0331:Title Two\n0331:Title Two B\n"
+    )
+    lines = spark.read.text(str(f)).withColumn("_source_file", F.input_file_name())
+    recs = {r["rec_no"]: r["record"] for r in decode_multiline_records(lines).collect()}
+    assert len(recs) == 2
+    assert recs[1]["0331"] == ["Title One"]
+    assert recs[1]["0000"] == ["111"]
+    assert recs[2]["0331"] == ["Title Two", "Title Two B"]
+
+
+def test_verify_links(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "x"]), (2, ["y"]), (3, None)],
+        "doc_id long, links array<string>",
+    )
+    refs = spark.createDataFrame([("a",), ("b",), ("z",)], "id string")
+    out = {r["doc_id"]: r for r in verify_links(df, "links", refs).collect()}
+    assert out[1]["verified_links"] == ["a", "b"]
+    assert out[1]["n_verified"] == 2 and out[1]["n_links"] == 3
+    assert out[2]["verified_links"] == [] and out[2]["n_verified"] == 0
+    assert out[3]["n_links"] == 0
+
+
+def test_super_join(spark):
+    df = spark.createDataFrame(
+        [(1, None, "Parent T", "P"), (2, 1, None, "C"), (3, 99, None, "C")],
+        "rec_id long, ref_id long, title string, kind string",
+    )
+    out = {
+        r["rec_id"]: r
+        for r in super_join(
+            df, "ref_id", "rec_id", {"title": "parent_title"}, prefix="(DE-600)"
+        ).collect()
+    }
+    assert out[2]["parent_title"] == "Parent T"
+    assert out[2]["super_id"] == "(DE-600)1"
+    assert out[3]["parent_title"] is None  # dangling ref
+    assert out[1]["super_id"] is None
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return build_index(synth_corpus(spark, 100, max_tokens=200, partitions=4), shard_size=32)
+
+
+def test_fuzzy_parse():
+    pq = Q.parse_query("tokenizr~1")
+    assert pq.groups[0][0].kind == "fuzzy" and pq.groups[0][0].fuzz == 1
+
+
+@pytest.mark.parametrize("q", ["tokenizr~1", "scorr~2"])
+def test_fuzzy_matches_bruteforce(index, q):
+    import re
+
+    m = re.match(r"(\w+)~(\d)", q)
+    stem, fuzz = m.group(1), int(m.group(2))
+
+    def dist(a, b):
+        # classic DP edit distance (no external deps)
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    vocab = [r["term"] for r in index.terms.select("term").collect()]
+    want_terms = {t for t in vocab if dist(stem, t) <= fuzz}
+    from pyspark.sql import functions as FF
+
+    want = {
+        r["doc_id"]
+        for r in index.postings.filter(FF.col("term").isin(list(want_terms)))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    } if want_terms else set()
+    got = {r["doc_id"] for r in Q.matching_docs_df(index, q).collect()}
+    assert got == want
+
+
+def test_sharded_structured_queries(index):
+    """Sharded path must agree with the DF path on structured queries."""
+    for q in ['"applicable law" license', "tokenize -license", "varint* | deltagap"]:
+        a = Q.bm25_topk_df(index, q, k=15).collect()
+        b = Q.bm25_topk_sharded(index, q, k=15, operator="and").collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ], q
