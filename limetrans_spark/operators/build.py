@@ -156,41 +156,63 @@ def flat_postings(tokens: DataFrame, with_positions: bool = True) -> DataFrame:
 
 INVERT_SCHEMA = (
     "doc_id long, dl long, "
-    "postings array<struct<term:string,tf:int,positions:array<int>>>"
+    "postings array<struct<term:string,tf:int,pos_blob:binary>>"
 )
 
 
 def invert_docs(docs: DataFrame, text_col: str = "content", analyzer: str = "code") -> DataFrame:
     """Map-side document inversion (the SPIMI mapper): one Arrow pass
     computes, per document, its length and its sorted (term, tf,
-    positions) fragments.  No shuffle — raw tokens never leave the task
-    that tokenized them.  → (doc_id, dl, postings nested array)."""
+    pos_blob) fragments — positions leave the mapper ALREADY delta-gap
+    varint encoded (one vectorized pass per Arrow batch), so downstream
+    stages shuffle compact binary instead of int arrays and the block
+    writer just concatenates bytes.  No shuffle here — raw tokens never
+    leave the task that tokenized them."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             inv = [invert_py(t, analyzer) for t in pdf[text_col]]
+            # batch-vectorized positional encoding across ALL postings
+            flat: list[int] = []
+            lens: list[int] = []
+            for _, posting_list in inv:
+                for _, _, ps in posting_list:
+                    flat.extend(ps)
+                    lens.append(len(ps))
+            blobs = codec.encode_positions_grouped(
+                np.asarray(flat, dtype=np.int64), np.asarray(lens, dtype=np.int64)
+            )
+            rows = []
+            i = 0
+            for _, posting_list in inv:
+                out = []
+                for term, tf, _ in posting_list:
+                    out.append((term, tf, blobs[i]))
+                    i += 1
+                rows.append(out)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "dl": [d for d, _ in inv],
-                    "postings": [p for _, p in inv],
+                    "postings": rows,
                 }
             )
 
     return docs.select("doc_id", text_col).mapInPandas(fn, INVERT_SCHEMA)
 
 
-def explode_postings(inverted: DataFrame) -> DataFrame:
-    """Nested per-doc fragments → flat (term, doc_id, tf, positions).
+def explode_postings(inverted: DataFrame, keep_dl: bool = False) -> DataFrame:
+    """Nested per-doc fragments → flat (term, doc_id, tf, pos_blob[, dl]).
     Narrow (no shuffle); backed by the inverted cache."""
-    return inverted.select(
-        "doc_id", F.explode("postings").alias("p")
-    ).select(
+    cols = [
         F.col("p.term").alias("term"),
-        "doc_id",
+        F.col("doc_id"),
         F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
-    )
+        F.col("p.pos_blob").alias("pos_blob"),
+    ]
+    if keep_dl:
+        cols.append(F.col("dl"))
+    return inverted.select("doc_id", "dl", F.explode("postings").alias("p")).select(*cols)
 
 
 def doc_lengths(tokens: DataFrame) -> DataFrame:
@@ -205,12 +227,12 @@ def doc_lengths_from_postings(postings: DataFrame) -> DataFrame:
     return postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
 
 
-def doc_lengths_from_positions(postings: DataFrame) -> DataFrame:
-    """dl = max(last position)+1 from positional postings — overlap-correct
-    for ANY analyzer, and avoids re-tokenizing the corpus (positions are
-    sorted, so the last element is the per-(term,doc) max)."""
-    return postings.groupBy("doc_id").agg(
-        (F.max(F.element_at("positions", -1)) + 1).cast("long").alias("dl")
+def doc_lengths_from_dl_column(postings_with_dl: DataFrame) -> DataFrame:
+    """doc_id → dl from flat postings that carry the per-doc ``dl``
+    column (explode_postings(keep_dl=True)); overlap-correct for any
+    analyzer because dl was computed at inversion time."""
+    return postings_with_dl.groupBy("doc_id").agg(
+        F.max("dl").cast("long").alias("dl")
     )
 
 
@@ -242,26 +264,26 @@ SHARD_ROW_SCHEMA = (
 
 
 def _spimi_writer(shard_size: int):
-    """mapInPandas fn: term-sorted (shard, term, doc_id, tf, positions)
+    """mapInPandas fn: term-sorted (shard, term, doc_id, tf, pos_blob)
     rows → one compressed row per (shard, term) run.  Runs may span Arrow
     batches; carry state handles the seam.  Memory is bounded by the
     largest single (shard, term) run, itself bounded by ``shard_size``.
+    Positions arrive pre-encoded from the inverter, so the positional
+    payload of a run is a plain byte join.
     """
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_key: tuple[int, str] | None = None
         docs: list[np.ndarray] = []
         tfs: list[np.ndarray] = []
-        poss: list[list] = []
+        poss: list[list[bytes]] = []
 
         def flush() -> dict:
             d = np.concatenate(docs)
             t = np.concatenate(tfs)
             base = cur_key[0] * shard_size
             doc_blob, tf_blob, bl, bm = codec.encode_postings(d, t, base=base)
-            pos_blob = codec.encode_positions(
-                [np.asarray(p, dtype=np.int64) for batch in poss for p in batch]
-            )
+            pos_blob = b"".join(b for batch in poss for b in batch)
             return {
                 "shard": cur_key[0],
                 "term": cur_key[1],
@@ -282,7 +304,7 @@ def _spimi_writer(shard_size: int):
             terms = pdf["term"].to_numpy()
             doc_arr = pdf["doc_id"].to_numpy()
             tf_arr = pdf["tf"].to_numpy()
-            pos_list = pdf["positions"].tolist()
+            pos_list = pdf["pos_blob"].tolist()
             # boundaries of (shard, term) runs within this batch
             change = np.empty(len(pdf), dtype=bool)
             change[0] = True
@@ -323,8 +345,10 @@ def build_shards(
     p = postings.withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
     )
-    if "positions" not in p.columns:
-        p = p.withColumn("positions", F.array().cast("array<int>"))
+    if "pos_blob" not in p.columns:
+        p = p.withColumn("pos_blob", F.lit(b""))
+    if "dl" in p.columns:
+        p = p.drop("dl")
     n_parts = num_partitions or p.sparkSession.conf.get("spark.sql.shuffle.partitions")
     # partition by (shard, term): keeps every (shard, term) run intact in one
     # partition (required by the writer) while spreading a shard's terms over
@@ -385,7 +409,7 @@ def build_index(
     inverted = invert_docs(docs, text_col, analyzer).persist()
     postings = explode_postings(inverted)
     if not with_positions:
-        postings = postings.drop("positions")
+        postings = postings.drop("pos_blob")
     # stats over docs that contain ≥1 token (Lucene field docCount)
     doclens = inverted.filter(F.col("dl") > 0).select("doc_id", "dl").persist()
     n_docs, avgdl = corpus_stats(doclens)

@@ -27,13 +27,8 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative int64s, vectorized."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # byte length per value: ceil(bit_length / 7), min 1, via successive
-    # comparisons against powers of 2^7 (max 10 bytes for 64-bit values).
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (vectorized)."""
     nbytes = np.ones(v.shape, dtype=np.int64)
     thresh = np.uint64(1 << 7)
     while True:
@@ -42,11 +37,19 @@ def varint_encode(values: np.ndarray) -> bytes:
             break
         nbytes[more] += 1
         if int(thresh) > (1 << 56):
-            # remaining values need 10 bytes max; handle by loop exit
             big = v >= np.uint64(1 << 63)
             nbytes[big] = np.maximum(nbytes[big], 10)
             break
         thresh = np.uint64(int(thresh) << 7)
+    return nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64s, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = _varint_nbytes(v)
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
@@ -150,6 +153,40 @@ def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
     boundaries = boundaries[boundaries < total]
     gaps[boundaries] = flat[boundaries]  # delta restarts at each list head
     return varint_encode(gaps)
+
+
+def encode_positions_grouped(flat_positions: np.ndarray, lens: np.ndarray) -> list[bytes]:
+    """Encode many posting-position lists in ONE vectorized pass → one
+    varint bytestring per list (delta restarts at each list head).
+    Concatenating the returned blobs in order yields exactly the stream
+    :func:`decode_positions` expects — the SPIMI writer just joins bytes.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [b""] * lens.size
+    flat = np.asarray(flat_positions, dtype=np.int64)
+    gaps = flat.copy()
+    gaps[1:] -= flat[:-1]
+    ends = np.cumsum(lens)
+    heads = ends - lens
+    heads = heads[lens > 0]
+    gaps[heads] = flat[heads]
+    buf = varint_encode(gaps)
+    nbytes = _varint_nbytes(gaps.astype(np.uint64))
+    byte_ends = np.cumsum(nbytes)
+    out: list[bytes] = []
+    prev_vals = 0
+    prev_bytes = 0
+    for n in lens:
+        if n == 0:
+            out.append(b"")
+            continue
+        end_vals = prev_vals + int(n)
+        end_bytes = int(byte_ends[end_vals - 1])
+        out.append(buf[prev_bytes:end_bytes])
+        prev_vals, prev_bytes = end_vals, end_bytes
+    return out
 
 
 def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:

@@ -39,10 +39,27 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.analysis import simple_tokenize_py
 from . import codec
 from .build import BM25_B, BM25_K1, BuiltIndex
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def _pos_decode_udf(blob: pd.Series, tf: pd.Series) -> pd.Series:
+    """Decode one posting's delta-varint positions → int array (used only
+    on term-filtered rows of phrase queries — the cold path)."""
+    out = []
+    for b, t in zip(blob, tf):
+        if not t or b is None:
+            out.append([])
+        else:
+            out.append(
+                np.cumsum(codec.varint_decode(bytes(b), int(t))).astype("int32").tolist()
+            )
+    return pd.Series(out)
 
 MAX_HITS = 1000  # reference cap: ElasticsearchClient.java:30
 MAX_PREFIX_EXPANSIONS = 128
@@ -158,13 +175,14 @@ def phrase_match_df(postings: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     phrase term.  Requires postings built ``with_positions``.
     """
     assert terms, "empty phrase"
+    pos_col = _pos_decode_udf(F.col("pos_blob"), F.col("tf"))
     cur = (
         postings.filter(F.col("term") == terms[0])
-        .select("doc_id", F.col("positions").alias("ends"))
+        .select("doc_id", pos_col.alias("ends"))
     )
     for t in terms[1:]:
         nxt = postings.filter(F.col("term") == t).select(
-            "doc_id", F.col("positions").alias("pos")
+            "doc_id", pos_col.alias("pos")
         )
         cur = (
             cur.join(nxt, "doc_id")

@@ -40,7 +40,7 @@ from ..operators.build import (
     assign_doc_ids,
     build_shards,
     corpus_stats,
-    doc_lengths_from_positions,
+    doc_lengths_from_dl_column,
     explode_postings,
     invert_docs,
     term_stats,
@@ -143,6 +143,8 @@ def load_index(spark: SparkSession, root: str, snapshot: str | None = None) -> B
         m = json.load(f)
     docstore = spark.read.parquet(os.path.join(snap, "docstore"))
     postings = spark.read.parquet(os.path.join(snap, "postings"))
+    if "dl" in postings.columns:
+        postings = postings.drop("dl")
     terms = spark.read.parquet(os.path.join(snap, "terms"))
     shards = spark.read.parquet(os.path.join(snap, "shards"))
     doclens = docstore.select("doc_id", "dl")
@@ -217,9 +219,9 @@ def checkpointed_postings(
         wave = pending[w0 : w0 + wave_size]
         t0 = time.time()
         sub = docs.withColumn("_bucket", bucket_col).filter(F.col("_bucket").isin(wave))
-        p = explode_postings(invert_docs(sub, text_col, analyzer))
+        p = explode_postings(invert_docs(sub, text_col, analyzer), keep_dl=True)
         if not with_positions:
-            p = p.drop("positions")
+            p = p.drop("pos_blob")
         p = p.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
         p.write.mode("overwrite").partitionBy("bucket").parquet(runs_dir)
         # lineage per bucket (one small job over the wave's output)
@@ -290,8 +292,8 @@ def build_and_publish(
         docs, ckpt, n_buckets=n_buckets, wave_size=wave_size,
         text_col=text_col, analyzer=analyzer,
     )
-    postings = postings.persist()
-    doclens = doc_lengths_from_positions(postings).persist()
+    doclens = doc_lengths_from_dl_column(postings).persist()
+    postings = postings.drop("dl").persist()  # avoid dup-column with doclens joins
     n_docs, avgdl = corpus_stats(doclens)
     idx = BuiltIndex(
         docstore=docs.join(doclens, "doc_id", "left").fillna({"dl": 0}),
