@@ -298,6 +298,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lookup_supplement"] = lookup_supplement
 
+    # --- fuzzy matching (simple_query_string FUZZY flag) ------------------
+    q["ft_fuzzy"] = lambda s, d: Q.matching_docs_df(_ft_index(s, d), "sparq~1")
+
+    # --- cross-record operators (links.py) --------------------------------
+    def super_join_enrich(s, d):
+        from limetrans_spark.operators.links import super_join
+
+        docs = _t(s, d, "documents").withColumn(
+            "ref_id", F.col("doc_id") - F.lit(1)
+        )
+        out = super_join(
+            docs, "ref_id", "doc_id", {"lang": "parent_lang"}, prefix="(P)"
+        )
+        return out.select("doc_id", "lang", "parent_lang", "super_id")
+
+    q["super_join_enrich"] = super_join_enrich
+
+    def verify_links_docs(s, d):
+        from limetrans_spark.functions.analysis import simple_tokens
+        from limetrans_spark.operators.links import verify_links
+
+        docs = _t(s, d, "documents").withColumn(
+            "links", F.slice(simple_tokens(F.col("text")), 1, 3)
+        )
+        refs = (
+            _ft_index(s, d)
+            .terms.filter(F.col("df") >= 100)
+            .select(F.col("term").alias("id"))
+        )
+        return verify_links(docs, "links", refs).select(
+            "doc_id", "verified_links", "n_links", "n_verified"
+        )
+
+    q["verify_links_docs"] = verify_links_docs
+
+    # --- JSON property extraction (JSON processor analogue) ---------------
+    def events_props_sum(s, d):
+        ev = _t(s, d, "events")
+        return ev.groupBy("event_type").agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+
+    q["events_props_sum"] = events_props_sum
+
+    # --- set operation -----------------------------------------------------
+    def set_except(s, d):
+        ev = _t(s, d, "events")
+        clicks = (
+            ev.filter((F.col("event_type") == "click") & (F.col("value") > 90))
+            .select("user_id").distinct()
+        )
+        buys = (
+            ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+            .select("user_id").distinct()
+        )
+        return clicks.subtract(buys)
+
+    q["set_except"] = set_except
+
+    # --- rollup ------------------------------------------------------------
+    def events_rollup(s, d):
+        ev = _t(s, d, "events")
+        return ev.rollup("event_type").agg(F.count("*").alias("n_events"))
+
+    q["events_rollup"] = events_rollup
+
     def repeated_fields_report(s, d):
         """RepeatedFieldsLogger analogue: per-value occurrence diagnostics."""
         ev = _t(s, d, "events")
@@ -573,6 +640,49 @@ FROM events GROUP BY 1, 2"""
 SELECT o_orderkey, c_name, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_totalprice > 400000"""
+
+    o["ft_fuzzy"] = f"""{_SQL_FT}
+SELECT DISTINCT doc_id FROM postings
+WHERE levenshtein(term, 'sparq') <= 1"""
+
+    o["super_join_enrich"] = """
+SELECT c.doc_id, c.lang, p.lang AS parent_lang,
+       CASE WHEN c.doc_id - 1 IS NOT NULL THEN '(P)' || (c.doc_id - 1) END AS super_id
+FROM documents c LEFT JOIN documents p ON c.doc_id - 1 = p.doc_id"""
+
+    o["verify_links_docs"] = f"""{_SQL_FT},
+refs AS (SELECT term FROM postings GROUP BY term HAVING COUNT(*) >= 100),
+d AS (
+  SELECT doc_id,
+         list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> ''), 1, 3) AS links
+  FROM documents
+),
+lnk AS (SELECT doc_id, unnest(links) AS l FROM d),
+hit AS (
+  SELECT doc_id, list(l ORDER BY l) AS verified_links
+  FROM lnk JOIN refs ON l = term GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(hit.verified_links, []) AS verified_links,
+       len(d.links)::INT AS n_links,
+       len(COALESCE(hit.verified_links, []))::INT AS n_verified
+FROM d LEFT JOIN hit USING (doc_id)"""
+
+    o["events_props_sum"] = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY event_type"""
+
+    o["set_except"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 90
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90"""
+
+    o["events_rollup"] = """
+SELECT event_type, COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY ROLLUP (event_type)"""
 
     o["repeated_fields_report"] = """
 SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt
