@@ -245,6 +245,28 @@ def term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def skew_report(terms: DataFrame, n_docs: int, top: int = 20) -> list[dict]:
+    """Top-DF terms + corpus share — the skew telemetry the north rule
+    asks for (stopword-like code tokens, license boilerplate).  These are
+    the terms whose postings the doc-shard layout splits across shards;
+    the report goes into the build manifest (save_index)."""
+    rows = (
+        terms.orderBy(F.col("df").desc(), "term")
+        .limit(top)
+        .select("term", "df", "cf")
+        .collect()
+    )
+    return [
+        {
+            "term": r["term"],
+            "df": int(r["df"]),
+            "cf": int(r["cf"]),
+            "doc_share": round(r["df"] / n_docs, 4) if n_docs else 0.0,
+        }
+        for r in rows
+    ]
+
+
 def corpus_stats(doclens: DataFrame) -> tuple[int, float]:
     row = doclens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")

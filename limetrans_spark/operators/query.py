@@ -153,18 +153,26 @@ def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
 # --------------------------------------------------------------------------
 
 
-def _contrib_col(n_docs: int, avgdl: float, df_col="df", tf_col="tf", dl_col="dl"):
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col(df_col) + F.lit(0.5))
-        / (F.col(df_col) + F.lit(0.5))
-    )
+def _contrib_col(avgdl: float, idf_col="idf", tf_col="tf", dl_col="dl"):
+    """BM25 contribution.  The idf comes in as a precomputed column
+    (Python ``math.log``, broadcast per query term): JVM ``ln`` and libm
+    ``log`` differ by 1 ulp on some inputs, and computing idf in one
+    runtime keeps the DataFrame path and the shard scorers bit-identical.
+    The remaining ops (+,*,/) are IEEE-exact everywhere."""
     tfd = F.col(tf_col).cast("double")
     norm = F.lit(BM25_K1) * (
         F.lit(1.0 - BM25_B)
         + F.lit(BM25_B) * F.col(dl_col).cast("double") / F.lit(float(avgdl))
     )
-    return idf * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm)
+    return F.col(idf_col) * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm)
+
+
+def _idf_table(index: BuiltIndex, qterms: list[str]) -> DataFrame:
+    """Broadcastable (term, idf) frame with idf computed in Python."""
+    rows = index.terms.filter(F.col("term").isin(qterms)).select("term", "df").collect()
+    spark = index.terms.sparkSession
+    data = [(r["term"], bm25_idf(index.n_docs, int(r["df"]))) for r in rows]
+    return F.broadcast(spark.createDataFrame(data, "term string, idf double"))
 
 
 def phrase_match_df(postings: DataFrame, terms: tuple[str, ...]) -> DataFrame:
@@ -302,13 +310,10 @@ def bm25_topk_df(
     if flat_op is not None:
         qterms = pq.positive_terms
         p = index.postings.filter(F.col("term").isin(qterms))
-        tstats = F.broadcast(
-            index.terms.filter(F.col("term").isin(qterms)).select("term", "df")
-        )
         contrib = (
-            p.join(tstats, "term")
+            p.join(_idf_table(index, qterms), "term")
             .join(index.doclens, "doc_id")
-            .withColumn("contrib", _contrib_col(index.n_docs, index.avgdl))
+            .withColumn("contrib", _contrib_col(index.avgdl))
         )
         scored = contrib.groupBy("doc_id").agg(
             F.aggregate(
@@ -346,12 +351,11 @@ def bm25_topk_df(
         )
     qterms = sorted(score_terms)
     p = index.postings.filter(F.col("term").isin(qterms))
-    tstats = F.broadcast(index.terms.filter(F.col("term").isin(qterms)).select("term", "df"))
     contrib = (
-        p.join(tstats, "term")
+        p.join(_idf_table(index, qterms), "term")
         .join(index.doclens, "doc_id")
         .join(docs, "doc_id", "left_semi")
-        .withColumn("contrib", _contrib_col(index.n_docs, index.avgdl))
+        .withColumn("contrib", _contrib_col(index.avgdl))
     )
     if deterministic:
         scored = contrib.groupBy("doc_id").agg(

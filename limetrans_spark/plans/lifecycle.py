@@ -114,12 +114,15 @@ def save_index(
     idx.postings.write.mode("overwrite").parquet(os.path.join(snap, "postings"))
     idx.terms.write.mode("overwrite").parquet(os.path.join(snap, "terms"))
     idx.shards.write.mode("overwrite").parquet(os.path.join(snap, "shards"))
+    from ..operators.build import skew_report
+
     manifest = {
         "name": name,
         "generation": generation,
         "n_docs": idx.n_docs,
         "avgdl": idx.avgdl,
         "shard_size": idx.shard_size,
+        "skew_top_df": skew_report(idx.terms, idx.n_docs) if idx.n_docs else [],
         "metrics": {**idx.metrics, **(extra_metrics or {}), "write_sec": round(time.time() - t0, 3)},
     }
     with open(os.path.join(snap, "manifest.json"), "w") as f:
@@ -128,6 +131,51 @@ def save_index(
         switch_alias(root, snap_name)
         retain_snapshots(root, retain)
     return snap
+
+
+def apply_deletes(
+    idx: BuiltIndex,
+    deleted_ids: DataFrame,
+    deletion_literal: tuple[str, str] | None = None,
+) -> BuiltIndex:
+    """Delete documents from an index view — the analogue of the
+    reference's bulk-delete + deletion-literal trigger
+    (``ElasticsearchIndexer.java:79-126``: a record whose
+    ``deletionLiteral`` field matches is deleted instead of indexed).
+
+    ``deleted_ids``: DataFrame with a ``doc_id`` column; additionally any
+    docstore row where column ``deletion_literal[0]`` equals value
+    ``deletion_literal[1]`` is deleted.  Returns a new BuiltIndex whose
+    postings/doclens/docstore exclude the victims and whose N/avgdl are
+    recomputed — queries on the result never see deleted docs.  (The
+    compressed shards are rebuilt lazily on the next publish; the flat
+    path is authoritative for incremental serving.)
+    """
+    victims = deleted_ids.select("doc_id")
+    if deletion_literal is not None:
+        col, val = deletion_literal
+        victims = victims.unionByName(
+            idx.docstore.filter(F.col(col) == val).select("doc_id")
+        )
+    victims = victims.distinct().persist()
+    docstore = idx.docstore.join(victims, "doc_id", "left_anti")
+    doclens = idx.doclens.join(victims, "doc_id", "left_anti").persist()
+    postings = idx.postings.join(victims, "doc_id", "left_anti")
+    row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["a"] or 0.0)
+    from ..operators.build import build_shards, term_stats
+
+    return BuiltIndex(
+        docstore=docstore,
+        postings=postings,
+        shards=build_shards(postings, shard_size=idx.shard_size),
+        terms=term_stats(postings),
+        doclens=doclens,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        shard_size=idx.shard_size,
+        metrics={**idx.metrics, "deletes_applied": True},
+    )
 
 
 def load_index(spark: SparkSession, root: str, snapshot: str | None = None) -> BuiltIndex:
