@@ -372,12 +372,19 @@ def build_shards(
     if "dl" in p.columns:
         p = p.drop("dl")
     n_parts = num_partitions or p.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    # partition by (shard, term): keeps every (shard, term) run intact in one
-    # partition (required by the writer) while spreading a shard's terms over
-    # all cores — full parallelism even when n_shards < n_cores, and no
-    # single reducer ever holds more than one term-run of one shard.
+    # RANGE-partition by (shard, term): keeps every (shard, term) run intact
+    # (identical keys never straddle a range boundary) while spreading a
+    # shard's terms over all cores — full parallelism even when
+    # n_shards < n_cores, no reducer holds more than one term-run of one
+    # shard, AND the output is globally sorted by (shard, term), so at
+    # production file sizes every parquet ROW GROUP covers a narrow
+    # (shard, term) slice — pushed term predicates (verified:
+    # PushedFilters [In(term, …)]) skip row groups instead of decoding
+    # them.  Term can't lead the sort: all shards of one stop-like term
+    # would land in one reducer — exactly the skew sharding exists to
+    # break.  Hot high-DF runs stay ≤ shard_size rows per reducer.
     return (
-        p.repartition(int(n_parts), "shard", "term")
+        p.repartitionByRange(int(n_parts), "shard", "term")
         .sortWithinPartitions("shard", "term", "doc_id")
         .mapInPandas(_spimi_writer(shard_size), SHARD_ROW_SCHEMA)
     )

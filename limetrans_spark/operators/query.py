@@ -167,12 +167,27 @@ def _contrib_col(avgdl: float, idf_col="idf", tf_col="tf", dl_col="dl"):
     return F.col(idf_col) * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm)
 
 
+_IDF_CACHE: dict[tuple, list] = {}
+
+
 def _idf_table(index: BuiltIndex, qterms: list[str]) -> DataFrame:
-    """Broadcastable (term, idf) frame with idf computed in Python."""
-    rows = index.terms.filter(F.col("term").isin(qterms)).select("term", "df").collect()
+    """Broadcastable (term, idf) frame with idf computed in Python.
+    Memoized per (index, terms) — the df lookup is one tiny collect but
+    it's on every query's critical path."""
+    key = (id(index), index.n_docs, tuple(sorted(qterms)))
+    if key not in _IDF_CACHE:
+        rows = (
+            index.terms.filter(F.col("term").isin(qterms)).select("term", "df").collect()
+        )
+        _IDF_CACHE[key] = [
+            (r["term"], bm25_idf(index.n_docs, int(r["df"]))) for r in rows
+        ]
+        if len(_IDF_CACHE) > 10000:
+            _IDF_CACHE.clear()
     spark = index.terms.sparkSession
-    data = [(r["term"], bm25_idf(index.n_docs, int(r["df"]))) for r in rows]
-    return F.broadcast(spark.createDataFrame(data, "term string, idf double"))
+    return F.broadcast(
+        spark.createDataFrame(_IDF_CACHE[key], "term string, idf double")
+    )
 
 
 def phrase_match_df(postings: DataFrame, terms: tuple[str, ...]) -> DataFrame:

@@ -132,3 +132,23 @@ def test_docstore_lookup(index):
     row = index.docstore.filter(F.col("doc_id") == 5).collect()
     assert len(row) == 1
     assert row[0]["content_sha256"] is not None
+
+
+def test_empty_and_tokenless_docs(spark):
+    """Docs with empty content: stored in the docstore, excluded from N
+    (Lucene field docCount semantics), invisible to term queries."""
+    from limetrans_spark.operators import query as Q
+
+    df = spark.createDataFrame(
+        [
+            ("r", "a", "c1", "py", "alpha beta"),
+            ("r", "b", "c2", "py", ""),
+            ("r", "c", "c3", "py", "(((  )))"),  # punctuation only
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_index(df, shard_size=8)
+    assert idx.n_docs == 1
+    assert idx.docstore.count() == 3  # all rows stored
+    assert Q.matching_docs_df(idx, "alpha").count() == 1
+    assert Q.bm25_topk_df(idx, "", k=10).count() == 3  # match_all sees all
