@@ -1,0 +1,148 @@
+"""Custom stateful streaming operator: event sessionization.
+
+The reference has no streaming state machine (its only incremental
+source, OAI-PMH, is batch-replayed — SURVEY.md §2.E), but a large-scale
+ingest pipeline needs one; this implements gap-based sessionization with
+``applyInPandasWithState``: per-key (user) state carries the open
+session; a session closes when a new event arrives more than ``gap``
+after the last one, or when the state times out (processing-time) with
+no new events.
+
+Emitted rows: one per CLOSED session —
+``(user_id, session_start, session_end, n_events, total_value)``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+# open-session state: (start_us, end_us, n_events, total_value)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _session_fn(gap_seconds: float, timeout_ms: int):
+    gap_us = int(gap_seconds * _US)
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        closed: list[tuple] = []
+
+        def emit(start_us: int, end_us: int, n: int, total: float):
+            closed.append(
+                (
+                    user_id,
+                    dt.datetime.utcfromtimestamp(start_us / _US),
+                    dt.datetime.utcfromtimestamp(end_us / _US),
+                    n,
+                    float(total),
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, tot = state.get
+                emit(s, e, n, tot)
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+            ts_us = rows["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            vals = rows["value"].to_numpy()
+            if state.exists:
+                s, e, n, tot = state.get
+            else:
+                s = e = int(ts_us[0])
+                n, tot = 0, 0.0
+            for t_us, v in zip(ts_us, vals):
+                t_us = int(t_us)
+                if n > 0 and t_us - e > gap_us:
+                    emit(s, e, n, tot)
+                    s, n, tot = t_us, 0, 0.0
+                if n == 0:
+                    s = t_us
+                e = t_us
+                n += 1
+                tot += float(v)
+            state.update((int(s), int(e), int(n), float(tot)))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+        out = pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+        if out.empty:  # keep Arrow dtypes stable for empty frames
+            out = out.astype(
+                {
+                    "user_id": "int64",
+                    "session_start": "datetime64[us]",
+                    "session_end": "datetime64[us]",
+                    "n_events": "int64",
+                    "total_value": "float64",
+                }
+            )
+        yield out
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming gap sessionization over (user_id, ts, value) events.
+
+    State is bounded: one open session per user.  ``timeout_ms > 0``
+    additionally flushes sessions of users that went quiet via a
+    processing-time timeout (continuous deployments); leave 0 for
+    ``availableNow`` replays, where timeouts would re-trigger empty
+    batches.  At 100 TB/day the groupBy key (user) shards state uniformly
+    across executors — the standard scalable shape for custom streaming
+    state.
+    """
+    n = {"minutes": 60, "minute": 60, "seconds": 1, "second": 1, "hours": 3600, "hour": 3600}
+    qty, unit = gap.split()
+    gap_seconds = float(qty) * n[unit]
+    return (
+        events.selectExpr("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds, timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

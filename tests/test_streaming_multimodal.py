@@ -136,3 +136,66 @@ def test_standard_numbers(spark):
     zz = zdb.select(standard_number_udf("ZDB")(F.col("raw")).alias("r")).collect()
     assert zz[0]["r"]["valid"] and zz[0]["r"]["preferred"] == "2073457-8"
     assert not zz[1]["r"]["valid"]
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization with state carried across micro-batch runs
+    via the streaming checkpoint."""
+    import json as _json
+
+    from limetrans_spark.streaming.sessionize import sessionize
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts string, value double")
+            .json(str(landing))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = (
+            sessionize(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+    write("b1.jsonl", [
+        {"user_id": 1, "ts": "2020-01-01 10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2020-01-01 10:10:00", "value": 2.0},
+        {"user_id": 1, "ts": "2020-01-01 12:30:00", "value": 3.0},
+        {"user_id": 2, "ts": "2020-01-01 09:00:00", "value": 5.0},
+    ])
+    run_once()
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1's first session (2 events) closed by the 12:30 gap; user 2 open
+    assert got == {(1, "2020-01-01 10:00:00"): (2, 3.0)}
+
+    # a later event for user 1 closes the 12:30 session (state recovered
+    # from the checkpoint across separate streaming runs)
+    write("b2.jsonl", [{"user_id": 1, "ts": "2020-01-01 15:00:00", "value": 7.0}])
+    run_once()
+    got2 = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        (1, "2020-01-01 10:00:00"): (2, 3.0),
+        (1, "2020-01-01 12:30:00"): (1, 3.0),
+    }
