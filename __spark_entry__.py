@@ -147,6 +147,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ft_bm25_rare"] = lambda s, d: _topk_rounded(_ft_index(s, d), "dup", 20)
 
+    # compressed doc-sharded index + per-shard WAND, gated against the
+    # same SQL oracle as the DataFrame path
+    def ft_bm25_wand(s, d):
+        idx = _ft_index(s, d)
+        out = Q.bm25_topk_sharded(idx, "vector | stream", k=10, operator="or")
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_bm25_wand"] = ft_bm25_wand
+
+    def ft_phrase_sharded(s, d):
+        idx = _ft_index(s, d)
+        out = Q.bm25_topk_sharded(idx, '"hash join"', k=1000)
+        return out.select("doc_id")
+
+    q["ft_phrase_sharded"] = ft_phrase_sharded
+
     # --- boolean / phrase / prefix matching (simple_query_string subset) -
     q["ft_and"] = lambda s, d: Q.matching_docs_df(_ft_index(s, d), "spark join window")
     q["ft_or"] = lambda s, d: Q.matching_docs_df(_ft_index(s, d), "dup | vector")
@@ -397,6 +413,10 @@ FROM postings GROUP BY term"""
     o["ft_bm25_topk"] = _sql_bm25(["spark", "join"], 10, "and")
     o["ft_bm25_or"] = _sql_bm25(["vector", "stream"], 10, "or")
     o["ft_bm25_rare"] = _sql_bm25(["dup"], 20, "and")
+    o["ft_bm25_wand"] = _sql_bm25(["vector", "stream"], 10, "or")
+    o["ft_phrase_sharded"] = """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9]|$)')"""
 
     o["ft_and"] = f"""{_SQL_FT}
 SELECT doc_id FROM postings WHERE term IN ('spark','join','window')
