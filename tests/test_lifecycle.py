@@ -95,3 +95,18 @@ def test_no_publish_on_empty_build(spark, root):
 def test_load_without_snapshot_raises(spark, root):
     with pytest.raises(FileNotFoundError):
         lc.load_index(spark, root)
+
+
+def test_snapshot_scan_pushdown(spark, corpus, root):
+    """Regression guard: term predicates must reach the parquet scan of a
+    published snapshot (PushedFilters), so term lookups prune row groups
+    instead of decoding the whole index."""
+    from pyspark.sql import functions as F
+
+    lc.build_and_publish(corpus, root, "code", "gp", shard_size=32, n_buckets=4)
+    idx = lc.load_index(spark, root)
+    plan = idx.shards.filter(F.col("term").isin(["tokenize", "score"]))._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    assert "In(term" in plan
+    plan2 = idx.postings.filter(F.col("term") == "tokenize")._jdf.queryExecution().toString()
+    assert "EqualTo(term,tokenize)" in plan2
