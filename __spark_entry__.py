@@ -274,6 +274,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3"] = tpch_q3
 
+    def tpch_join_chain(s, d):
+        """5-table join tree: revenue per nation for one region (TPC-H
+        q5 shape) — broadcast the small dims, shuffle join the facts."""
+        disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        li = _t(s, d, "lineitem")
+        orders = _t(s, d, "orders")
+        cust = _t(s, d, "customer")
+        nation = _t(s, d, "nation")
+        region = _t(s, d, "region").filter(F.col("r_name") == "ASIA")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .groupBy("n_name")
+            .agg(_dsum(disc_price).alias("revenue"), F.count("*").alias("n_items"))
+        )
+
+    q["tpch_join_chain"] = tpch_join_chain
+
     def window_topn(s, d):
         from pyspark.sql import Window
 
@@ -640,6 +660,18 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+    o["tpch_join_chain"] = """
+SELECT n_name,
+  ROUND(SUM(((l_extendedprice * (1 - l_discount)))::DECIMAL(28,6))::DOUBLE, 2) AS revenue,
+  COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name"""
 
     o["window_topn"] = """
 SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (

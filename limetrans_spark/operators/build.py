@@ -76,7 +76,10 @@ def assign_doc_ids(
 
     ``mode="hash"``: bucket by md5(key) (fixed ``num_buckets``), sort by
     key within bucket, add exact bucket-offset prefix sums.  One shuffle,
-    no global sort, IDs invariant to cluster size.
+    no global sort, IDs invariant to cluster size.  Size ``num_buckets``
+    so a bucket's rows fit one task's sort comfortably (~1–10M keys per
+    bucket; e.g. 10^12 docs → ~10^5–10^6 buckets).  The value is part of
+    the ID assignment, so pin it per corpus — changing it renumbers.
 
     ``mode="sort"``: IDs equal the global dense rank of ``keys`` ascending
     (FIXTURES.md §1) via range bucketing; invariant for distinct keys.
