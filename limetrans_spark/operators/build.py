@@ -393,6 +393,70 @@ def build_shards(
     )
 
 
+SHARD_DL_SCHEMA = "shard int, n int, doc_blob binary, dl_blob binary"
+
+
+def build_shard_doclens(
+    doclens: DataFrame, shard_size: int, num_partitions: int | None = None
+) -> DataFrame:
+    """doclens → one compressed row per shard: (shard, n, doc_blob, dl_blob).
+
+    Queries need per-candidate document lengths; shuffling the whole
+    doclens table per query (O(corpus) — what the naive cogroup does)
+    cannot scale.  This materializes each shard's (doc_id, dl) pairs as
+    two varint blobs ONCE at build; at query time the dl side of the
+    cogroup is a single small row per shard."""
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: int | None = None
+        ids: list[np.ndarray] = []
+        dls: list[np.ndarray] = []
+
+        def flush() -> dict:
+            d = np.concatenate(ids)
+            v = np.concatenate(dls)
+            base = cur * shard_size
+            return {
+                "shard": cur,
+                "n": int(d.size),
+                "doc_blob": codec.varint_encode(codec.delta_encode(d, base)),
+                "dl_blob": codec.varint_encode(v),
+            }
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            sh = pdf["shard"].to_numpy()
+            di = pdf["doc_id"].to_numpy()
+            dv = pdf["dl"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = sh[1:] != sh[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                k = int(sh[s])
+                if k != cur:
+                    if cur is not None:
+                        out.append(flush())
+                    cur, ids, dls = k, [], []
+                ids.append(di[s:e])
+                dls.append(dv[s:e])
+            if out:
+                yield pd.DataFrame(out)
+        if cur is not None:
+            yield pd.DataFrame([flush()])
+
+    n_parts = num_partitions or doclens.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        doclens.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
+        .repartitionByRange(int(n_parts), "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .mapInPandas(write, SHARD_DL_SCHEMA)
+    )
+
+
 # --------------------------------------------------------------------------
 # full build
 # --------------------------------------------------------------------------
@@ -401,14 +465,20 @@ def build_shards(
 @dataclass
 class BuiltIndex:
     docstore: DataFrame
-    postings: DataFrame  # flat (term, doc_id, tf[, positions])
-    shards: DataFrame  # compressed
+    postings: DataFrame  # flat (term, doc_id, tf[, pos_blob])
+    shards: DataFrame  # compressed posting runs
     terms: DataFrame  # term → df, cf, max_tf
     doclens: DataFrame
     n_docs: int
     avgdl: float
     shard_size: int
     metrics: dict
+    shard_dl: DataFrame | None = None  # (shard, n, doc_blob, dl_blob)
+
+    def shard_doclens(self) -> DataFrame:
+        if self.shard_dl is None:
+            self.shard_dl = build_shard_doclens(self.doclens, self.shard_size)
+        return self.shard_dl
 
 
 def verify_sha256(docs: DataFrame, content_col: str = "content") -> DataFrame:
@@ -465,4 +535,5 @@ def build_index(
         avgdl=avgdl,
         shard_size=shard_size,
         metrics=metrics,
+        shard_dl=build_shard_doclens(doclens, shard_size),
     )

@@ -636,9 +636,9 @@ def bm25_topk_sharded(
     n_flat_terms = len(score_terms)
 
     rows = index.shards.filter(F.col("term").isin(qterms))
-    dls = index.doclens.withColumn(
-        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-    )
+    # per-shard dl blobs: ONE small row per shard joins the cogroup —
+    # never a per-query shuffle of the corpus-sized doclens table
+    dls = index.shard_doclens()
 
     def score_shard(key, pdfs: pd.DataFrame, dlpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -649,8 +649,11 @@ def bm25_topk_sharded(
         shard = int(key[0])
         base = shard * shard_size
         dl = np.zeros(shard_size, dtype=np.float64)
-        ids = dlpdf["doc_id"].to_numpy() - base
-        dl[ids] = dlpdf["dl"].to_numpy()
+        row0 = dlpdf.iloc[0]
+        ids = codec.delta_decode(
+            codec.varint_decode(bytes(row0["doc_blob"]), int(row0["n"])), base
+        ) - base
+        dl[ids] = codec.varint_decode(bytes(row0["dl_blob"]), int(row0["n"]))
         plists = _decode_shard_group(pdfs, shard_size)
         score_lists = {t: plists[t] for t in score_terms if t in plists}
         if flat and operator == "or" and algorithm == "wand":

@@ -114,6 +114,7 @@ def save_index(
     idx.postings.write.mode("overwrite").parquet(os.path.join(snap, "postings"))
     idx.terms.write.mode("overwrite").parquet(os.path.join(snap, "terms"))
     idx.shards.write.mode("overwrite").parquet(os.path.join(snap, "shards"))
+    idx.shard_doclens().write.mode("overwrite").parquet(os.path.join(snap, "shard_dl"))
     from ..operators.build import skew_report
 
     manifest = {
@@ -196,6 +197,8 @@ def load_index(spark: SparkSession, root: str, snapshot: str | None = None) -> B
     terms = spark.read.parquet(os.path.join(snap, "terms"))
     shards = spark.read.parquet(os.path.join(snap, "shards"))
     doclens = docstore.select("doc_id", "dl")
+    sdl_path = os.path.join(snap, "shard_dl")
+    shard_dl = spark.read.parquet(sdl_path) if os.path.isdir(sdl_path) else None
     return BuiltIndex(
         docstore=docstore,
         postings=postings,
@@ -206,6 +209,7 @@ def load_index(spark: SparkSession, root: str, snapshot: str | None = None) -> B
         avgdl=m["avgdl"],
         shard_size=m["shard_size"],
         metrics=m.get("metrics", {}),
+        shard_dl=shard_dl,
     )
 
 
@@ -343,6 +347,8 @@ def build_and_publish(
     doclens = doc_lengths_from_dl_column(postings).persist()
     postings = postings.drop("dl").persist()  # avoid dup-column with doclens joins
     n_docs, avgdl = corpus_stats(doclens)
+    from ..operators.build import build_shard_doclens
+
     idx = BuiltIndex(
         docstore=docs.join(doclens, "doc_id", "left").fillna({"dl": 0}),
         postings=postings,
@@ -353,6 +359,7 @@ def build_and_publish(
         avgdl=avgdl,
         shard_size=shard_size,
         metrics={"analyzer": analyzer, "n_docs": n_docs, "avgdl": avgdl},
+        shard_dl=build_shard_doclens(doclens, shard_size),
     )
     snap = save_index(
         idx, root, name, generation, retain=retain,
