@@ -1,0 +1,45 @@
+"""limetrans_spark — PySpark-native inverted-index + BM25 engine.
+
+Public surface (see README.md for the architecture):
+
+>>> from limetrans_spark import get_spark, build_index, bm25_topk_df
+>>> spark = get_spark()
+>>> idx = build_index(corpus_df)               # corpus: repo/path/commit/lang/content
+>>> bm25_topk_df(idx, '"block max wand" -license tokeni*', k=10).show()
+"""
+
+from .operators.build import BuiltIndex, assign_doc_ids, build_index
+from .operators.query import (
+    MAX_HITS,
+    bm25_topk_df,
+    bm25_topk_sharded,
+    matching_docs_df,
+    parse_query,
+)
+from .plans.lifecycle import (
+    apply_deletes,
+    build_and_publish,
+    load_index,
+    retain_snapshots,
+    save_index,
+    switch_alias,
+)
+from .session import get_spark
+
+__all__ = [
+    "MAX_HITS",
+    "BuiltIndex",
+    "apply_deletes",
+    "assign_doc_ids",
+    "bm25_topk_df",
+    "bm25_topk_sharded",
+    "build_and_publish",
+    "build_index",
+    "get_spark",
+    "load_index",
+    "matching_docs_df",
+    "parse_query",
+    "retain_snapshots",
+    "save_index",
+    "switch_alias",
+]
