@@ -1,0 +1,65 @@
+"""CLI end-to-end: build → resume → search → filter (subprocess — the CLI
+owns its SparkSession lifecycle)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def run_cli(*args, timeout=300):
+    out = subprocess.run(
+        [sys.executable, "-m", "limetrans_spark.cli", "--master", "local[4]", *args],
+        capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    p = str(tmp_path_factory.mktemp("clicorpus") / "corpus")
+    synth_corpus(spark, 80, max_tokens=120, partitions=4).write.parquet(p)
+    return p
+
+
+def test_cli_build_search_filter_resume(corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cliidx"))
+    out = run_cli(
+        "build", "--input", corpus_path, "--root", root, "--generation", "g1",
+        "--shard-size", "32", "--buckets", "4", "--wave-size", "2",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 80 and rep["resumed_buckets"] == 0
+
+    # resume: same generation → all buckets skipped, same postings count
+    out2 = run_cli(
+        "build", "--input", corpus_path, "--root", root, "--generation", "g1",
+        "--shard-size", "32", "--buckets", "4", "--wave-size", "2",
+    )
+    rep2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rep2["resumed_buckets"] == 4
+    assert rep2["n_postings"] == rep["n_postings"]
+
+    s = run_cli("search", "--root", root, "--query", "parse json", "-k", "3")
+    assert s.returncode == 0, s.stderr[-2000:]
+    hits = [json.loads(line) for line in s.stdout.strip().splitlines()]
+    assert len(hits) == 3 and all("score" in h for h in hits)
+
+    w = run_cli("search", "--root", root, "--query", "tokenize | score",
+                "-k", "3", "--mode", "wand", "--operator", "or")
+    assert w.returncode == 0 and len(w.stdout.strip().splitlines()) == 3
+
+    f = run_cli("filter", "--input", corpus_path, "-f", "lang=py",
+                "-f", "@content", "-O", "all", "--limit", "2")
+    assert f.returncode == 0
+    rows = [json.loads(line) for line in f.stdout.strip().splitlines() if line.startswith("{")]
+    assert rows and all(r["lang"] == "py" for r in rows)
+
+    # failure path: nonexistent index root → exit 1 with an error line
+    bad = run_cli("search", "--root", str(tmp_path_factory.mktemp("nope")), "--query", "x")
+    assert bad.returncode == 1
+    assert "error:" in bad.stderr
