@@ -106,6 +106,22 @@ def main():
         queries[name] = round(dt, 3)
         latencies.append(dt)
 
+    # --- serving tier: query the compressed artifacts without Spark jobs --
+    from limetrans_spark.operators.serve import LocalSearcher
+
+    searcher, t_load = timed(lambda: LocalSearcher.from_index(idx))
+    queries["serve_load"] = round(t_load, 3)
+    searcher.search("key value", k=10)  # warm decode cache
+    for name, q, op in [
+        ("q_serve_and", "spark join", "and"),
+        ("q_serve_or", "vector | stream", "or"),
+        ("q_serve_phrase", '"hash join"', "and"),
+    ]:
+        t0 = time.time()
+        for _ in range(20):
+            searcher.search(q, k=10, operator=op)
+        queries[name] = round((time.time() - t0) / 20, 5)
+
     # --- pipeline operators ------------------------------------------------
     import __spark_entry__ as entry
 
