@@ -50,7 +50,7 @@ def _add_search(sub):
     p.add_argument("--query", required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--mode", default="df", choices=["df", "wand", "taat"])
-    p.add_argument("--operator", default="and", choices=["and", "or"])
+    p.add_argument("--operator", default=None, choices=["and", "or"])
 
 
 def _add_filter(sub):

@@ -13,9 +13,11 @@ Layout per posting list (one ``(shard, term)`` run):
   prefixed by per-posting counts (== tf, so counts are implicit).
 * block metadata kept as plain int arrays next to the blobs:
   ``block_last_doc`` (skip pointers) and ``block_max_tf`` (block-max
-  WAND upper bounds: max BM25 contribution of a block is monotone in
-  max tf for fixed dl bounds — we additionally keep ``block_max_w``,
-  max of tf/(tf+K) weight with per-doc dl, computed at build).
+  WAND upper bounds: the max BM25 contribution of a block is monotone
+  in max tf for fixed dl bounds, so the scorer derives the bound as
+  ``idf·(k1+1)·btf/(btf+K(dl_min))`` with ``dl_min`` the smallest
+  *nonzero* doc length in the shard — empty doc slots carry dl 0 and
+  are excluded, see ``query._wand_topk``).
 
 Everything is NumPy-vectorized; no per-row Python in the hot path.
 """

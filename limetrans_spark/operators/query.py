@@ -437,7 +437,11 @@ def _wand_topk(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float
     terms = sorted(plists)
     if not terms:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
-    dlmin = float(dl.min()) if dl.size else 0.0
+    # K from the smallest *real* doc length in the shard: zero slots are
+    # empty doc ids (non-full shards) — no posting can reference them, so
+    # excluding them keeps the bound sound while much tighter.
+    nz = dl[dl > 0.0]
+    dlmin = float(nz.min()) if nz.size else 1.0
     Kmin = BM25_K1 * (1.0 - BM25_B + BM25_B * dlmin / avgdl)
 
     def w_ub(tf):
@@ -485,18 +489,37 @@ def _wand_topk(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float
         if pivot_idx < 0:
             break
         pivot_doc = int(live[pivot_idx][0])
+        # widen over doc ties: every list whose current doc == pivot_doc
+        # contributes to the pivot's score and must be inside the bound
+        pend = pivot_idx
+        while pend + 1 < len(live) and int(live[pend + 1][0]) == pivot_doc:
+            pend += 1
         # block-max refinement at the pivot
         bub = 0.0
-        for _, i in live[: pivot_idx + 1]:
+        for _, i in live[: pend + 1]:
             bi = int(np.searchsorted(blast[i], pivot_doc))
             if bi < bmax[i].size:
                 bub += float(bmax[i][bi])
         if len(heap) >= k and bub < theta:
-            # skip: advance the lowest-doc term past min block boundary
-            _, i0 = live[0]
-            bi = int(np.searchsorted(blast[i0], pivot_doc))
-            nxt = int(blast[i0][bi]) + 1 if bi < blast[i0].size else np.iinfo(np.int64).max
-            ptr[i0] = int(np.searchsorted(docs[i0], max(nxt, pivot_doc + 1)))
+            # BMW skip rule: bub bounds every doc in [pivot_doc, nxt) where
+            # nxt = 1 + min over *prefix* lists of the end of the block
+            # containing pivot_doc, further capped by the first suffix
+            # list's current doc (a doc ≥ that gains its contribution, so
+            # the bound no longer applies) and floored at pivot_doc + 1.
+            # Advancing any prefix list past another's block end — the old
+            # behavior — silently dropped that term's contribution for docs
+            # in the gap and broke rank identity on multi-block shards.
+            nxt = np.iinfo(np.int64).max
+            for _, i in live[: pend + 1]:
+                bi = int(np.searchsorted(blast[i], pivot_doc))
+                if bi < blast[i].size:
+                    nxt = min(nxt, int(blast[i][bi]) + 1)
+            if pend + 1 < len(live):
+                nxt = min(nxt, int(live[pend + 1][0]))
+            nxt = max(nxt, pivot_doc + 1)
+            for _, i in live[: pend + 1]:
+                if docs[i][ptr[i]] < nxt:
+                    ptr[i] = int(np.searchsorted(docs[i], nxt))
             continue
         if live[0][0] == pivot_doc:
             # all pre-pivot terms aligned → full score
@@ -584,12 +607,19 @@ def bm25_topk_sharded(
     index: BuiltIndex,
     query: str | ParsedQuery,
     k: int = 10,
-    operator: str = "or",
+    operator: str | None = None,
     algorithm: str = "wand",
 ) -> DataFrame:
     """BM25 top-k over the compressed doc-sharded index — the full
     boolean surface (AND/OR groups, NOT, positional phrase, prefix,
     fuzzy), each shard answering locally, global k-merge.
+
+    ``operator=None`` derives boolean semantics from the parsed query —
+    whitespace = AND, ``|`` = OR (the reference pins
+    ``default_operator=and``, ``ElasticsearchQueryTest.java:52``) — so
+    the same query string returns the same doc set on all three
+    execution paths (DataFrame / sharded / serving).  An explicit
+    ``"and"``/``"or"`` overrides the derivation for flat term queries.
 
     Plan: prune index rows to the query terms (parquet min/max on the
     term-sorted files when reading from disk) → cogroup with per-shard
@@ -632,7 +662,13 @@ def bm25_topk_sharded(
     }
     idfs = {t: bm25_idf(n_docs, tstats.get(t, 0)) for t in score_terms}
     groups = pq.groups
-    flat = not has_structure  # only positive single-term clauses
+    # flat = positive single-term clauses in a shape one operator can
+    # express ('a b' → and, 'a | b' → or); mixed shapes ('a b | c') go
+    # through the structured group-mask path even without NOT/phrase.
+    derived = _is_flat(pq)
+    if operator is None:
+        operator = derived or "and"
+    flat = not has_structure and derived is not None
     n_flat_terms = len(score_terms)
 
     rows = index.shards.filter(F.col("term").isin(qterms))

@@ -127,9 +127,12 @@ class LocalSearcher:
     # -- search ---------------------------------------------------------------
 
     def search(
-        self, query: str | ParsedQuery, k: int = 10, operator: str = "and"
+        self, query: str | ParsedQuery, k: int = 10, operator: str | None = None
     ) -> list[tuple[int, float]]:
-        from .query import _clause_docs_shard, _clause_key
+        """``operator=None`` derives semantics from the parsed query
+        (whitespace = AND, ``|`` = OR — same derivation as
+        ``bm25_topk_sharded``, so all paths agree on defaults)."""
+        from .query import _clause_docs_shard, _clause_key, _is_flat
 
         pq = query if isinstance(query, ParsedQuery) else parse_query(query)
         k = min(k, MAX_HITS)
@@ -161,7 +164,10 @@ class LocalSearcher:
         if not score_terms:
             raise ValueError("serving path requires a positive clause")
         idfs = {t: bm25_idf(self.n_docs, self.term_df.get(t, 0)) for t in score_terms}
-        flat = not has_structure
+        derived = _is_flat(pq)
+        if operator is None:
+            operator = derived or "and"
+        flat = not has_structure and derived is not None
         heap: list[tuple[float, int]] = []
         for shard in sorted(self._shards):
             dl = self._dl.get(shard)

@@ -138,3 +138,93 @@ def test_parallelism_rank_identity(spark, index):
     assert [(r["doc_id"], r["score"]) for r in c] == [
         (r["doc_id"], r["score"]) for r in d
     ]
+
+
+# ---------------------------------------------------------------------------
+# WAND vs exact TAAT on multi-block posting lists (pure NumPy, no Spark).
+#
+# Round-1 regression: the block-max skip advanced the lowest list past its
+# OWN block end without capping at the other prefix lists' block boundaries
+# or the first suffix list's current doc, silently dropping contributions at
+# production shard sizes (the oracle gates use single-block shards, which
+# never exercise the skip).  This test uses shards of thousands of docs —
+# dozens of 128-entry blocks per list — with spiky tfs so block maxes vary
+# wildly and the skip fires constantly.
+# ---------------------------------------------------------------------------
+
+
+def _rand_plists(rng, shard_size, n_terms, base):
+    import numpy as np
+
+    from limetrans_spark.operators import codec
+
+    plists = {}
+    for ti in range(n_terms):
+        density = rng.uniform(0.05, 0.9)
+        docs = base + np.nonzero(rng.random(shard_size) < density)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        # spiky tfs: mostly 1-3, occasional 50-200 spikes → wild block maxes
+        tfs = rng.integers(1, 4, size=docs.size).astype(np.int64)
+        spikes = rng.random(docs.size) < 0.02
+        tfs[spikes] = rng.integers(50, 200, size=int(spikes.sum()))
+        _, _, blast, bmax_tf = codec.encode_postings(docs, tfs, base=base)
+        plists[f"t{ti:02d}"] = {
+            "docs": docs,
+            "tfs": tfs,
+            "block_last": np.asarray(blast, dtype=np.int64),
+            "block_max_tf": np.asarray(bmax_tf, dtype=np.int64),
+            "pos_blob": b"",
+        }
+    return plists
+
+
+def test_wand_multiblock_matches_taat_randomized():
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    avgdl = 120.0
+    for trial in range(60):
+        shard_size = int(rng.integers(1500, 4000))
+        base = int(rng.integers(0, 5)) * shard_size
+        n_terms = int(rng.integers(2, 6))
+        k = int(rng.choice([3, 10, 25]))
+        plists = _rand_plists(rng, shard_size, n_terms, base)
+        if not plists:
+            continue
+        dl = np.zeros(shard_size, dtype=np.float64)
+        # docs referenced by any posting must have a real (nonzero) length
+        used = np.unique(np.concatenate([p["docs"] for p in plists.values()])) - base
+        dl[used] = rng.integers(20, 400, size=used.size)
+        idfs = {t: Q.bm25_idf(10000, int(p["docs"].size)) for t, p in plists.items()}
+        scores, nmatch = Q._taat_scores(plists, idfs, dl, base, avgdl)
+        cand = np.nonzero(nmatch > 0)[0]
+        order = np.lexsort((cand, -scores[cand]))[:k]
+        want = list(zip((cand[order] + base).tolist(), scores[cand][order].tolist()))
+        d, s = Q._wand_topk(plists, idfs, dl, base, avgdl, k)
+        got = list(zip(d.tolist(), s.tolist()))
+        assert len(got) == len(want), f"trial {trial}: {len(got)} != {len(want)}"
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd and abs(gs - ws) < ATOL, (
+                f"trial {trial}: got ({gd},{gs}) want ({wd},{ws})"
+            )
+
+
+def test_default_operator_consistent_across_paths(index):
+    """Same query string with DEFAULT args → same docs AND scores on all
+    three execution paths (the reference pins default_operator=and,
+    ElasticsearchQueryTest.java:52; round-1 regression: the sharded path
+    defaulted to OR and ignored group structure for flat queries)."""
+    from limetrans_spark.operators.serve import LocalSearcher
+
+    searcher = LocalSearcher.from_index(index)
+    for q in ["tokenize score", "tokenize | score", "parse json | license"]:
+        a = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(index, q, k=15).collect()]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in Q.bm25_topk_sharded(index, q, k=15).collect()
+        ]
+        c = [(d, s) for d, s in searcher.search(q, k=15)]
+        assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
+        for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
+            assert abs(sa - sb) < ATOL and abs(sa - sc) < ATOL, q
