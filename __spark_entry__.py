@@ -169,8 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_not"] = lambda s, d: Q.matching_docs_df(_ft_index(s, d), "spark -join")
     q["ft_phrase"] = lambda s, d: Q.matching_docs_df(_ft_index(s, d), '"hash join"')
     q["ft_prefix"] = lambda s, d: Q.matching_docs_df(_ft_index(s, d), "wind*")
-    q["ft_match_all"] = lambda s, d: _ft_index(s, d).docstore.agg(
-        F.count("*").alias("n_docs")
+    # match_all exercises the real retrieval path (doc list, score 0.0,
+    # doc_id ordering in bm25_topk_df) — not just a count
+    q["ft_match_all"] = lambda s, d: Q.bm25_topk_df(_ft_index(s, d), "", k=1000).select(
+        "doc_id", F.round("score", 6).alias("score")
     )
 
     # --- docstore (getDocument analogue) + sha256 invariant --------------
@@ -218,15 +220,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup family -----------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_t(s, d, "documents"))
-    q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(
-        _t(s, d, "documents"), threshold=0.9
-    )
+
+    def dedup_jaccard(s, d):
+        docs = _t(s, d, "documents")
+        # high-DF ceiling at 90% of the corpus: exercises the skew guard
+        # (tokens in >90% of docs — boilerplate — leave the join)
+        ceiling = int(0.9 * docs.count())
+        return dedup.jaccard_pairs(docs, threshold=0.9, max_token_df=ceiling)
+
+    q["dedup_jaccard"] = dedup_jaccard
     q["dedup_minhash"] = lambda s, d: dedup.minhash_lsh_candidates(
         _t(s, d, "documents"), num_hashes=8, bands=4
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"), bits=16)
     q["dedup_embedding"] = lambda s, d: dedup.embedding_near_dup_pairs(
         _t(s, d, "embeddings"), threshold=0.3
+    )
+    # scale path: sign-LSH buckets, exact cosine only inside buckets —
+    # no cartesian anywhere in the plan
+    q["dedup_embedding_lsh"] = lambda s, d: dedup.embedding_lsh_pairs(
+        _t(s, d, "embeddings"), threshold=0.3, n_planes=8, bands=4
     )
 
     # --- similarity search ------------------------------------------------
@@ -363,8 +376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .terms.filter(F.col("df") >= 100)
             .select(F.col("term").alias("id"))
         )
+        # gate projection must be all-scalar: the driver's canonicalizer
+        # can't sort array columns, so join the (already sorted) array
         return verify_links(docs, "links", refs).select(
-            "doc_id", "verified_links", "n_links", "n_verified"
+            "doc_id",
+            F.array_join("verified_links", "|").alias("verified_links"),
+            "n_links",
+            "n_verified",
         )
 
     q["verify_links_docs"] = verify_links_docs
@@ -451,7 +469,9 @@ SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9]|$)')"""
     o["ft_prefix"] = f"""{_SQL_FT}
 SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'wind%'"""
-    o["ft_match_all"] = "SELECT COUNT(*)::BIGINT AS n_docs FROM documents"
+    o["ft_match_all"] = (
+        "SELECT doc_id, 0.0::DOUBLE AS score FROM documents ORDER BY doc_id LIMIT 1000"
+    )
 
     o["docstore_sha256"] = (
         "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"
@@ -496,11 +516,16 @@ SELECT h.doc_id, h.content_hash, c.canonical_id,
 FROM h JOIN c USING (content_hash)"""
 
     o["dedup_jaccard"] = """
-WITH toks AS (
+WITH toks0 AS (
   SELECT DISTINCT doc_id AS id, t.term
   FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
   WHERE t.term <> ''
 ),
+keep AS (
+  SELECT term FROM toks0 GROUP BY term
+  HAVING COUNT(*) <= (SELECT CAST(floor(0.9 * COUNT(*)) AS BIGINT) FROM documents)
+),
+toks AS (SELECT toks0.* FROM toks0 JOIN keep USING (term)),
 sizes AS (SELECT id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS i
@@ -559,6 +584,34 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_cos}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND({_cos}, 6) >= 0.3"""
 
+    # sign-LSH bucketed near-dup: SAME hyperplane literals as the engine
+    from limetrans_spark.operators.dedup import random_hyperplanes
+
+    _planes = random_hyperplanes(8, 64)
+    _bits_sql = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in _planes
+    )
+    _lsh_bands = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, substr(sig, {b * 2 + 1}, 2) AS bucket FROM sig"
+        for b in range(4)
+    )
+    o["dedup_embedding_lsh"] = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT id, v, {_bits_sql} AS sig FROM v),
+banded AS ({_lsh_bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b,
+       ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
+WHERE ROUND(list_cosine_similarity(va.v, vb.v), 6) >= 0.3"""
+
     _qcos = (
         "list_cosine_similarity(e.embedding::DOUBLE[], "
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])"
@@ -568,18 +621,33 @@ SELECT e.vec_id AS id, ROUND({_qcos}, 6) AS cosine
 FROM embeddings e WHERE e.vec_id <> 0
 ORDER BY {_qcos} DESC, e.vec_id ASC LIMIT 10"""
 
-    o["ann_ivf"] = f"""
-WITH sims AS (
-  SELECT e.vec_id AS id, e.label AS cluster, {_qcos} AS cos_raw
-  FROM embeddings e WHERE e.vec_id <> 0
+    # centroid-pruned IVF: probe selection against per-cluster mean
+    # vectors only (mirrors ann.ivf_build + ann.ivf_topk)
+    o["ann_ivf"] = """
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+ed AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(c ORDER BY dim) AS centroid
+  FROM (SELECT label, dim, AVG(val) AS c FROM ed GROUP BY label, dim)
+  GROUP BY label
 ),
 best AS (
-  SELECT cluster FROM sims GROUP BY cluster
-  ORDER BY AVG(cos_raw) DESC, cluster ASC LIMIT 2
+  SELECT label,
+         ROUND(list_cosine_similarity(centroid, (SELECT v FROM qv)), 9) AS cs
+  FROM cent ORDER BY cs DESC, label ASC LIMIT 2
 )
-SELECT id, ROUND(cos_raw, 6) AS cosine
-FROM sims JOIN best USING (cluster)
-ORDER BY cos_raw DESC, id ASC LIMIT 10"""
+SELECT e.vec_id AS id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)), 6) AS cosine
+FROM embeddings e JOIN best USING (label)
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
+         e.vec_id ASC
+LIMIT 10"""
 
     from limetrans_spark.functions.text import STOPWORDS
 
@@ -716,14 +784,14 @@ hit AS (
   FROM lnk JOIN refs ON l = term GROUP BY doc_id
 )
 SELECT d.doc_id,
-       COALESCE(hit.verified_links, []) AS verified_links,
+       array_to_string(COALESCE(hit.verified_links, []), '|') AS verified_links,
        len(d.links)::INT AS n_links,
        len(COALESCE(hit.verified_links, []))::INT AS n_verified
 FROM d LEFT JOIN hit USING (doc_id)"""
 
     o["events_props_sum"] = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        COUNT(*)::BIGINT AS n
 FROM events GROUP BY event_type"""
 

@@ -156,7 +156,7 @@ def lookup(col: str, mapping: dict[str, str], dst: str | None = None,
     m = F.create_map(*items) if items else F.create_map()
 
     def step(df: DataFrame) -> DataFrame:
-        hit = m.getItem(F.col(col))
+        hit = F.try_element_at(m, F.col(col))  # null on miss, no ANSI error
         if delete:
             out = hit  # misses → null (caller vacuums)
         elif default is not None:

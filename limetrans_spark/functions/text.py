@@ -29,8 +29,8 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def token_count(col: Column) -> Column:
-    return F.size(simple_tokens(col))
+def token_count(col: Column, toks: Column | None = None) -> Column:
+    return F.size(simple_tokens(col) if toks is None else toks)
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -38,8 +38,8 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_REGEX), 0))
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = simple_tokens(col)
+def stopword_ratio(col: Column, toks: Column | None = None) -> Column:
+    toks = simple_tokens(col) if toks is None else toks
     stops = F.filter(toks, lambda t: t.isin(STOPWORDS))
     return F.when(F.size(toks) > 0, F.size(stops).cast("double") / F.size(toks)).otherwise(0.0)
 
@@ -48,19 +48,19 @@ def punct_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit("[^A-Za-z0-9_ ]"), 0))
 
 
-def mean_token_len(col: Column) -> Column:
-    toks = simple_tokens(col)
+def mean_token_len(col: Column, toks: Column | None = None) -> Column:
+    toks = simple_tokens(col) if toks is None else toks
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(0.0)
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Heuristic document-quality score in [0,1]:
     length factor × (1 − stopword excess) × (1 − punctuation density).
     Deterministic rational arithmetic → portable across engines."""
-    n = token_count(col)
+    n = token_count(col, toks)
     length_factor = F.least(n.cast("double") / F.lit(20.0), F.lit(1.0))
-    stop_penalty = F.lit(1.0) - F.least(stopword_ratio(col) * 2.0, F.lit(1.0))
+    stop_penalty = F.lit(1.0) - F.least(stopword_ratio(col, toks) * 2.0, F.lit(1.0))
     pc = punct_count(col).cast("double")
     chars = F.length(col).cast("double")
     punct_penalty = F.lit(1.0) - F.least(
@@ -69,16 +69,16 @@ def quality_score(col: Column) -> Column:
     return F.round(length_factor * stop_penalty * punct_penalty, 6)
 
 
-def lang_marker_count(col: Column, lang: str) -> Column:
-    toks = simple_tokens(col)
+def lang_marker_count(col: Column, lang: str, toks: Column | None = None) -> Column:
+    toks = simple_tokens(col) if toks is None else toks
     return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
 
 
-def langid(col: Column) -> Column:
+def langid(col: Column, toks: Column | None = None) -> Column:
     """Marker-word language ID: argmax of per-language marker counts,
     deterministic tie-break by language code ascending; 'und' if zero."""
     langs = sorted(LANG_MARKERS)
-    counts = {lg: lang_marker_count(col, lg) for lg in langs}
+    counts = {lg: lang_marker_count(col, lg, toks) for lg in langs}
     best_count = F.greatest(*[counts[lg] for lg in langs])
     expr = F.lit("und")
     for lg in reversed(langs):  # first (asc) lang wins ties
@@ -99,16 +99,24 @@ def fingerprint(col: Column) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-stop per-document curation profile."""
+    """One-stop per-document curation profile.
+
+    Tokenizes ONCE into a staging projection and feeds the array to every
+    token-based metric — the regex split is the expensive part, and
+    Catalyst keeps the two projections separate (CollapseProject refuses
+    to inline non-cheap aliases referenced more than once), so the array
+    is materialized once per row instead of ~8×."""
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(F.col(id_col), c.alias("_text"), simple_tokens(c).alias("_toks"))
+    x, t = F.col("_text"), F.col("_toks")
+    return staged.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-        F.round(mean_token_len(c), 6).alias("mean_token_len"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        punct_count(c).alias("n_punct"),
-        quality_score(c).alias("quality"),
-        langid(c).alias("langid"),
-        fingerprint(c).alias("fingerprint"),
+        token_count(x, t).alias("n_tokens"),
+        bpe_token_count(x).alias("n_bpe_tokens"),
+        F.round(mean_token_len(x, t), 6).alias("mean_token_len"),
+        F.round(stopword_ratio(x, t), 6).alias("stopword_ratio"),
+        punct_count(x).alias("n_punct"),
+        quality_score(x, t).alias("quality"),
+        langid(x, t).alias("langid"),
+        fingerprint(x).alias("fingerprint"),
     )

@@ -54,6 +54,33 @@ def cosine_topk(
     return out.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Build the IVF coarse quantizer: one centroid (per-dimension mean)
+    per cluster → tiny ``(cluster, centroid)`` table, n_clusters rows.
+
+    This is the *build-time* half of IVF: compute once per snapshot,
+    persist next to the index, and at query time touch ONLY this table
+    to pick clusters — never the corpus.  (A full deployment seeds the
+    clusters with k-means; the engine takes assignments as given via
+    ``cluster_col`` and derives centroids, which is the part that
+    matters for pruning correctness.)
+    """
+    e = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    per_dim = e.groupBy("cluster", "dim").agg(F.avg("v").alias("c"))
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -63,34 +90,38 @@ def ivf_topk(
     id_col: str = "vec_id",
     cluster_col: str = "label",
     exclude_id: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style pruned cosine top-k → (id, cosine).
+    """IVF pruned cosine top-k → (id, cosine).
 
-    Coarse quantizer = the ``cluster_col`` partitioning (precomputed
-    cluster assignments; k-means at build time in a full deployment).
-    Cluster score = mean cosine(query, member) — a deterministic,
-    engine-portable stand-in for centroid distance.  Only the best
-    ``nprobe`` clusters are scanned, which on a cluster-partitioned
-    table is pure partition pruning.
+    Probe selection runs against the **centroid table only** (n_clusters
+    rows — a driver-side collect of ``nprobe`` ids), then the corpus scan
+    is filtered to the probed clusters: on a cluster-partitioned table
+    that ``IN`` filter is pure partition pruning, so query cost is
+    ~nprobe/nclusters of the data instead of a full scan.  Pass the
+    build-time ``centroids`` table; if omitted it is derived on the fly
+    (fine for tests, wasteful at scale — that's the build-time half).
     """
+    if centroids is None:
+        centroids = ivf_build(df, vec_col=vec_col, cluster_col=cluster_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sims = df.select(
+    probe_rows = (
+        centroids.select(
+            "cluster", F.round(cosine_expr(F.col("centroid"), q), 9).alias("cs")
+        )
+        .orderBy(F.col("cs").desc(), F.col("cluster").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probed = [r["cluster"] for r in probe_rows]
+    out = df.filter(F.col(cluster_col).isin(probed)).select(
         F.col(id_col).alias("id"),
-        F.col(cluster_col).alias("cluster"),
         cosine_expr(_as_double(F.col(vec_col)), q).alias("cos_raw"),
     )
     if exclude_id is not None:
-        sims = sims.filter(F.col("id") != exclude_id)
-    sims = sims.persist()
-    best = (
-        sims.groupBy("cluster")
-        .agg(F.avg("cos_raw").alias("cscore"))
-        .orderBy(F.col("cscore").desc(), F.col("cluster").asc())
-        .limit(nprobe)
-    )
+        out = out.filter(F.col("id") != exclude_id)
     return (
-        sims.join(F.broadcast(best.select("cluster")), "cluster", "left_semi")
-        .select("id", F.round(F.col("cos_raw"), 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        out.orderBy(F.col("cos_raw").desc(), F.col("id").asc())
         .limit(k)
+        .select("id", F.round("cos_raw", 6).alias("cosine"))
     )

@@ -43,7 +43,8 @@ Reference parity anchors: deterministic record IDs
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import itertools
+from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -474,6 +475,9 @@ class BuiltIndex:
     shard_size: int
     metrics: dict
     shard_dl: DataFrame | None = None  # (shard, n, doc_blob, dl_blob)
+    # process-unique identity for per-index caches (query._IDF_CACHE):
+    # id(self) recycles after GC and can alias a stale cache entry
+    uid: int = field(default_factory=itertools.count().__next__)
 
     def shard_doclens(self) -> DataFrame:
         if self.shard_dl is None:

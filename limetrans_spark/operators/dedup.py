@@ -24,10 +24,14 @@ is what the DuckDB oracle gate checks.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import simple_tokens
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,16 +58,32 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Token-set Jaccard similarity join → (id_a, id_b, jaccard ≥ threshold).
 
     Inverted-index plan: explode distinct tokens, self-join on token
     (so only documents sharing ≥1 token ever pair), count shared tokens,
-    then |A∪B| = |A|+|B|−|A∩B|.  All shuffles key on token or id pair —
-    at scale, prune ubiquitous tokens first (stop-token ceiling) to keep
-    the token join skew-free; here the vocabulary is tiny so no pruning.
+    then |A∪B| = |A|+|B|−|A∩B|.  All shuffles key on token or id pair.
+
+    ``max_token_df`` is the high-DF ceiling that makes the plan survive
+    skew: a token appearing in d documents contributes d² join rows, so
+    one ubiquitous token (license boilerplate, a common keyword) turns
+    the token join quadratic in the corpus.  Tokens with df >
+    ``max_token_df`` are dropped from BOTH the join and the set sizes
+    (Jaccard over the pruned token sets — the standard stop-token
+    semantics); the pruned-term count is logged, never silent.  At 100 TB
+    always set a ceiling; None computes exact Jaccard.
     """
     toks = _token_sets(df, text_col, id_col).persist()
+    if max_token_df is not None:
+        dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+        keep = dfreq.filter(F.col("df") <= max_token_df).select("term")
+        n_pruned = dfreq.filter(F.col("df") > max_token_df).count()
+        _LOG.info(
+            "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
+        )
+        toks = toks.join(keep, "term", "left_semi")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -74,9 +94,11 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # sizes is corpus-sized (one row per doc) — never force a broadcast;
+    # AQE downgrades to broadcast on its own when the side is small
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -206,6 +228,94 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 20260816) -> list[list[float]]:
+    """Deterministic random-hyperplane set for sign-LSH, components
+    rounded to 8 decimals so the SAME literals embed into the Spark plan
+    and any SQL oracle (decimal→double parsing is IEEE-identical)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 8) for x in p] for p in planes]
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 20260816,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucketed candidate
+    generation → exact cosine only inside buckets.
+
+    Signature bit i = [dot(v, hᵢ) ≥ 0] for ``n_planes`` fixed random
+    hyperplanes (collision probability 1 − θ/π per bit — the SimHash
+    bound); bits split into ``bands``, candidates = id pairs sharing any
+    band's full bit-slice.  The band bucket key is a hash-like bit
+    pattern → uniform groupBy, no skew; no cross join anywhere, unlike
+    :func:`embedding_near_dup_pairs` (the exact oracle baseline).
+    Deterministic given ``seed``; recall < 1 by construction — raise
+    ``n_planes``/lower ``bands`` for tighter thresholds.
+    """
+    from .ann import dot_expr
+
+    assert n_planes % bands == 0
+    rows_per_band = n_planes // bands
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(first[0])
+    planes = random_hyperplanes(n_planes, dim, seed)
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    bits = [
+        F.when(
+            dot_expr(F.col("v"), F.array(*[F.lit(c) for c in p])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    sig = v.select("id", "v", F.concat(*bits).alias("sig"))
+    banded = None
+    for b in range(bands):
+        part = sig.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # a pair may collide in several bands — score once
+    )
+    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    from .ann import cosine_expr as _cos
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

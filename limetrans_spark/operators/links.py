@@ -68,13 +68,18 @@ def super_join(
     parent_id_col: str,
     graft_cols: dict[str, str],
     prefix: str | None = None,
-    broadcast_parent: bool = True,
+    broadcast_parent: bool = False,
 ) -> DataFrame:
     """Enrich child rows with parent fields via a self-join.
 
     ``graft_cols`` maps parent column → new child column; parent ids are
     optionally emitted with ``prefix`` (the reference prepends
     ``(DE-600)`` to super ids, SisisSuperFilter.java:139-145).
+
+    ``broadcast_parent`` defaults to False: the parent side is a
+    projection of the whole corpus, so forcing a broadcast is a driver
+    OOM at scale — AQE picks broadcast on its own when the projection
+    turns out small.  Pass True only for a known-small parent set.
     """
     parent = df.select(
         F.col(parent_id_col).alias("_pid"),

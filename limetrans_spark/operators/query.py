@@ -174,7 +174,7 @@ def _idf_table(index: BuiltIndex, qterms: list[str]) -> DataFrame:
     """Broadcastable (term, idf) frame with idf computed in Python.
     Memoized per (index, terms) — the df lookup is one tiny collect but
     it's on every query's critical path."""
-    key = (id(index), index.n_docs, tuple(sorted(qterms)))
+    key = (index.uid, index.n_docs, tuple(sorted(qterms)))
     if key not in _IDF_CACHE:
         rows = (
             index.terms.filter(F.col("term").isin(qterms)).select("term", "df").collect()

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -76,19 +77,44 @@ def switch_alias(root: str, snapshot_name: str) -> None:
     os.replace(tmp, _alias_path(root))
 
 
+_GEN_RE = re.compile(r"^(?P<base>.+)-(?P<date>\d{8})(?:-(?P<seq>\d+))?$")
+
+
+def _snapshot_key(snap: str) -> tuple:
+    """Chronological key for ``name-YYYYMMDD[-seq]``: (base, date, seq).
+    Lexicographic sorting put 'x-20260816-10' before 'x-20260816-2';
+    the seq must compare numerically (retainIndexes parity,
+    ElasticsearchClient.java:387-397)."""
+    m = _GEN_RE.match(snap)
+    if m:
+        return (m.group("base"), m.group("date"), int(m.group("seq") or 0), snap)
+    # free-form generation labels: base = everything before the last '-',
+    # chronology falls back to the label's lexicographic order
+    base, sep, gen = snap.rpartition("-")
+    return (base if sep else snap, gen, -1, snap)
+
+
 def list_snapshots(root: str) -> list[str]:
     d = os.path.join(root, "snapshots")
     if not os.path.isdir(d):
         return []
-    return sorted(os.listdir(d))
+    return sorted(os.listdir(d), key=_snapshot_key)
 
 
 def retain_snapshots(root: str, retain: int = DEFAULT_RETAIN) -> list[str]:
     """Delete all but the newest ``retain`` non-current generations
-    (retainIndexes analogue; the current snapshot is always kept)."""
+    (retainIndexes analogue; the current snapshot is always kept).
+    Retention pools are scoped per base name — generations of different
+    indexes under one root never count against each other."""
     cur = current_snapshot(root)
-    gens = [s for s in list_snapshots(root) if s != cur]
-    doomed = gens[: max(0, len(gens) - retain)]
+    by_base: dict[str, list[str]] = {}
+    for s in list_snapshots(root):
+        if s == cur:
+            continue
+        by_base.setdefault(_snapshot_key(s)[0], []).append(s)
+    doomed: list[str] = []
+    for gens in by_base.values():  # already chronologically sorted
+        doomed.extend(gens[: max(0, len(gens) - retain)])
     for name in doomed:
         shutil.rmtree(os.path.join(root, "snapshots", name), ignore_errors=True)
     return doomed

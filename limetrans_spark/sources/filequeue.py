@@ -93,14 +93,20 @@ def decode_multiline_records(
     Plan: tag record boundaries with a running count (window over file +
     line order), then groupBy record id and collect the field pairs —
     the distributed version of the reference's stateful line loop.
+
+    Line order must survive files that Spark splits across partitions:
+    ``monotonically_increasing_id`` alone is partition-prefixed, and
+    partition ids need not follow file offsets.  Ordering by
+    ``(input_file_block_start, mono_id)`` is split-safe — blocks of one
+    file sort by byte offset, and within a block the mono id is
+    monotone in read order.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_source_file").orderBy("_line_no")
+    w = Window.partitionBy("_source_file").orderBy("_blk_start", "_line_no")
     tagged = (
-        lines.withColumn(
-            "_line_no", F.monotonically_increasing_id()
-        )
+        lines.withColumn("_blk_start", F.input_file_block_start())
+        .withColumn("_line_no", F.monotonically_increasing_id())
         .withColumn("is_start", F.col("value").rlike(record_start_regex).cast("int"))
         .withColumn("rec_no", F.sum("is_start").over(w))
         .filter(F.col("rec_no") > 0)

@@ -101,17 +101,19 @@ def incremental_index(
 
 
 def read_postings_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Union of all appended deltas, newest batch wins per (term, doc_id)
+    """Union of all appended deltas, newest batch wins per *document*
     (last-write-wins on re-indexed docs, ElasticsearchIndexerTest
-    replace semantics)."""
+    replace semantics).
+
+    The winner must be resolved per doc, not per (term, doc): a
+    re-indexed document REPLACES its old posting set, so terms present
+    only in the old version must disappear — keeping per-(term,doc)
+    maxima would leak stale postings for dropped terms.  One aggregate
+    to find each doc's newest batch, one equi-join to keep exactly that
+    batch's rows (both sides shuffle-partitioned on doc_id; the
+    aggregate side is tiny — one row per doc)."""
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(out_dir)
     deltas = spark.read.parquet(out_dir)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("term", "doc_id").orderBy(F.col("batch").desc())
-    return (
-        deltas.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "batch")
-    )
+    newest = deltas.groupBy("doc_id").agg(F.max("batch").alias("batch"))
+    return deltas.join(newest, ["doc_id", "batch"], "left_semi").drop("batch")

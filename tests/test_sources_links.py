@@ -138,3 +138,31 @@ def test_sharded_structured_queries(index):
         assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
             (r["doc_id"], round(r["score"], 9)) for r in b
         ], q
+
+
+def test_multiline_decode_survives_file_splits(spark, tmp_path):
+    """A large file split across many scan partitions must still assemble
+    records in file order (round-1 latent bug: monotonically_increasing_id
+    is partition-prefixed; ordering now uses input_file_block_start)."""
+    f = tmp_path / "big.sisis"
+    n_recs = 400
+    with open(f, "w") as fh:
+        for i in range(n_recs):
+            fh.write(f"0000:{i}\n")
+            for j in range(6):
+                fh.write(f"0331:rec{i}-line{j} " + "x" * 120 + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")  # force ~40 splits
+    try:
+        lines = spark.read.text(str(f)).withColumn("_source_file", F.input_file_name())
+        assert lines.rdd.getNumPartitions() > 4, "test needs a split file"
+        recs = {r["rec_no"]: r["record"] for r in decode_multiline_records(lines).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(recs) == n_recs
+    for i in (1, 50, 399, 400):
+        rec = recs[i]
+        assert rec["0000"] == [str(i - 1)]
+        assert len(rec["0331"]) == 6
+        assert rec["0331"][0].startswith(f"rec{i-1}-line0")
+        assert rec["0331"][5].startswith(f"rec{i-1}-line5")

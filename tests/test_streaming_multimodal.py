@@ -57,6 +57,11 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert by_key[("parse", 0)] == 1
     assert by_key[("merge", 1)] == 3  # batch 2 wins (last-write)
     assert by_key[("tokenize", 2)] == 1
+    # replace semantics: the re-index of doc 1 must ERASE postings for
+    # terms absent from the new content, not just update shared terms
+    assert ("segments", 1) not in by_key
+    assert ("slowly", 1) not in by_key
+    assert {t for t, d in by_key if d == 1} == {"merge"}
 
 
 def test_windowed_event_counts_batch_semantics(spark):
