@@ -175,6 +175,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", F.round("score", 6).alias("score")
     )
 
+    # --- fielded search (field:term syntax, copy_to, per-field BM25) ----
+    def ft_fielded(s, d):
+        from limetrans_spark.operators import fielded as FL
+
+        docs = _t(s, d, "documents")
+        fidx = FL.build_fielded_index(
+            docs,
+            fields={"content": "text", "lang": "lang"},
+            copy_to={"content": ["all"], "lang": ["all"]},
+        )
+        out = FL.bm25_topk_fielded(fidx, "lang:de content:vector", k=1000)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_fielded"] = ft_fielded
+
     # --- docstore (getDocument analogue) + sha256 invariant --------------
     q["docstore_sha256"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256")
@@ -258,6 +273,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis -----------------------------------------------------
     q["text_profile"] = lambda s, d: text_profile(_t(s, d, "documents"))
+
+    # --- standard numbers (ISBN validation + 10↔13 conversion, C6) --------
+    def standard_isbn(s, d):
+        from limetrans_spark.functions.standard_number import standard_number_udf
+
+        docs = _t(s, d, "documents").select("doc_id")
+        body = F.lpad(((F.col("doc_id") * 7919) % 1000000000).cast("string"), 9, "0")
+        df = docs.withColumn("body", body)
+        s10 = None
+        for i in range(1, 10):
+            term = F.substring("body", i, 1).cast("int") * F.lit(11 - i)
+            s10 = term if s10 is None else s10 + term
+        # doc_id % 3 == 0 → true check digit (valid); else corrupted
+        chk = ((F.lit(11) - s10 % 11) % 11 + F.col("doc_id") % 3) % 11
+        raw = F.when(chk == 10, F.concat("body", F.lit("X"))).otherwise(
+            F.concat("body", chk.cast("int").cast("string"))
+        )
+        parsed = standard_number_udf("ISBN")(F.col("raw"))
+        return (
+            df.withColumn("raw", raw)
+            .withColumn("p", parsed)
+            .select("doc_id", "raw", F.col("p.valid").alias("valid"),
+                    F.col("p.preferred").alias("preferred"))
+        )
+
+    q["standard_isbn"] = standard_isbn
+
+    # --- keyword_normalized + ocn analyzers (D19/D20) ----------------------
+    def keyword_ocn(s, d):
+        from limetrans_spark.functions.text import keyword_normalized, ocn
+
+        return _t(s, d, "documents").select(
+            "doc_id",
+            ocn(F.concat(F.lit("(OCoLC)00"), F.col("doc_id").cast("string"))).alias("ocn"),
+            keyword_normalized(F.col("text")).alias("kn"),
+        )
+
+    q["keyword_ocn"] = keyword_ocn
 
     # --- general analytics (scan/filter/agg/join/window/time-bucket) ------
     def tpch_q1(s, d):
@@ -473,6 +526,48 @@ SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'wind%'"""
         "SELECT doc_id, 0.0::DOUBLE AS score FROM documents ORDER BY doc_id LIMIT 1000"
     )
 
+    # fielded BM25: per-field postings/df/dl/avgdl, copy_to into 'all',
+    # AND of (lang:de, content:vector), scored in each clause's field space
+    o["ft_fielded"] = """
+WITH ftoks AS (
+  SELECT doc_id, 'content' AS field, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION ALL
+  SELECT doc_id, 'lang', t.term
+  FROM documents, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION ALL
+  SELECT doc_id, 'all', t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+  UNION ALL
+  SELECT doc_id, 'all', t.term
+  FROM documents, unnest(string_split_regex(lower(lang), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+fpost AS (SELECT field, term, doc_id, COUNT(*)::INT AS tf FROM ftoks GROUP BY ALL),
+fdl AS (SELECT doc_id, field, COUNT(*)::BIGINT AS dl FROM ftoks GROUP BY ALL),
+fstats AS (SELECT field, COUNT(*)::BIGINT AS dc, AVG(dl) AS avgdl FROM fdl GROUP BY field),
+fterm AS (SELECT field, term, COUNT(*)::BIGINT AS df FROM fpost GROUP BY ALL),
+q(field, term) AS (VALUES ('lang', 'de'), ('content', 'vector')),
+matched AS (
+  SELECT doc_id FROM fpost JOIN q USING (field, term)
+  GROUP BY doc_id HAVING COUNT(*) = 2
+),
+contrib AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.dc::DOUBLE - t.df + 0.5) / (t.df + 0.5))
+         * p.tf::DOUBLE * 2.2
+         / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / s.avgdl)) AS c
+  FROM fpost p JOIN q USING (field, term)
+  JOIN fterm t USING (field, term)
+  JOIN fdl d ON d.doc_id = p.doc_id AND d.field = p.field
+  JOIN fstats s ON s.field = p.field
+  JOIN matched m ON m.doc_id = p.doc_id
+)
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id"""
+
     o["docstore_sha256"] = (
         "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"
     )
@@ -648,6 +743,41 @@ WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
          e.vec_id ASC
 LIMIT 10"""
+
+    # ISBN-10 derivation + validation + 10→13 conversion, mirrored in SQL
+    _w10 = " + ".join(f"substr(body, {i}, 1)::INT * {11 - i}" for i in range(1, 10))
+    _w13 = " + ".join(
+        f"substr(body, {i}, 1)::INT * {3 if i % 2 == 1 else 1}" for i in range(1, 10)
+    )  # '978' contributes 9*1 + 7*3 + 8*1 = 38; body digit i has weight 3,1,3,…
+    o["standard_isbn"] = f"""
+WITH base AS (
+  SELECT doc_id, lpad(((doc_id * 7919) % 1000000000)::VARCHAR, 9, '0') AS body
+  FROM documents
+),
+c AS (SELECT doc_id, body, ({_w10}) AS s10 FROM base),
+r AS (
+  SELECT doc_id, body,
+         ((11 - s10 % 11) % 11 + doc_id % 3) % 11 AS chk,
+         (doc_id % 3 = 0) AS valid
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN chk = 10 THEN body || 'X' ELSE body || chk::VARCHAR END AS raw,
+       valid,
+       CASE WHEN valid
+            THEN '978' || body || ((10 - (38 + {_w13}) % 10) % 10)::VARCHAR
+       END AS preferred
+FROM r"""
+
+    from limetrans_spark.functions.text import _FOLD_DST, _FOLD_SRC
+
+    o["keyword_ocn"] = f"""
+SELECT doc_id,
+       regexp_replace('(OCoLC)00' || doc_id::VARCHAR, '^[^0-9]*0*', '') AS ocn,
+       trim(regexp_replace(regexp_replace(
+         translate(lower(text), '{_FOLD_SRC}', '{_FOLD_DST}'),
+         '[^a-z 0-9]', '', 'g'), ' +', ' ', 'g')) AS kn
+FROM documents"""
 
     from limetrans_spark.functions.text import STOPWORDS
 

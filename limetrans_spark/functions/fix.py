@@ -185,6 +185,63 @@ def lookup_join(col: str, map_df: DataFrame, key: str, value: str,
     return step
 
 
+# --- local-field handling (member libraries) ---------------------------------
+
+# a "local" marker is the literal LOCAL or an owner sigil like A:123b
+# (function/DropLocal.java:24-27)
+_LOCAL_RE = "^[A-Z]:[0-9]+[a-z]?$"
+
+
+def is_local_marker(c: Column) -> Column:
+    """True iff a scalar subfield-9 value marks the entry as local."""
+    return (c == "LOCAL") | c.rlike(_LOCAL_RE)
+
+
+def drop_local(col: str, member: str, local_field: str = "v9",
+               member_field: str = "m") -> Step:
+    """Remove local entries owned by OTHER members from an
+    ``array<struct>`` field; a field reduced to an empty array is
+    nulled out (the reference removes the whole field,
+    DropLocal.java:50-59).  ``local_field`` holds subfield 9 — string
+    OR array-of-string, dispatched on the actual schema — and
+    ``member_field`` holds subfield M."""
+    from pyspark.sql import types as T
+
+    def step(df: DataFrame) -> DataFrame:
+        elem = df.schema[col].dataType.elementType
+        local_is_array = isinstance(elem[local_field].dataType, T.ArrayType)
+
+        def foreign_local(e: Column) -> Column:
+            lf = e.getField(local_field)
+            if local_is_array:
+                marks = F.coalesce(
+                    F.exists(lf, is_local_marker), F.lit(False)
+                )
+            else:
+                marks = lf.isNotNull() & is_local_marker(lf)
+            mf = e.getField(member_field)
+            return marks & mf.isNotNull() & (mf != F.lit(member))
+
+        kept = F.filter(F.col(col), lambda e: ~foreign_local(e))
+        return df.withColumn(col, F.when(F.size(kept) > 0, kept))
+
+    return step
+
+
+def member_local(col: str, member: str, member_field: str = "m") -> Column:
+    """Predicate (MemberLocal.java:28-40): True when the field is absent
+    or carries no member subfield at all, else True iff ANY entry's
+    member equals ``member``.  Usable in filter()/when()."""
+    c = F.col(col)
+    has_m = F.exists(c, lambda e: e.getField(member_field).isNotNull())
+    any_eq = F.exists(
+        c,
+        lambda e: e.getField(member_field).isNotNull()
+        & (e.getField(member_field) == F.lit(member)),
+    )
+    return c.isNull() | (~has_m) | any_eq
+
+
 # --- pipeline runner ----------------------------------------------------------
 
 

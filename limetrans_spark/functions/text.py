@@ -87,9 +87,47 @@ def langid(col: Column, toks: Column | None = None) -> Column:
 
 
 def normalize_text(col: Column) -> Column:
-    """lower → squeeze whitespace → trim (keyword_normalized analyzer
-    analogue, hbztitle-settings-v8.json:180-189)."""
+    """lower → squeeze whitespace → trim (fingerprint canonicalization)."""
     return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+
+
+def _fold_map() -> tuple[str, str]:
+    """1:1 accent-fold table for F.translate, derived from Unicode data
+    (Latin-1 Supplement + Latin Extended-A).  Multi-char decompositions
+    (ß, æ, …) can't map 1:1 — they fall to the keyword_normalizer strip,
+    a documented deviation from full ICU folding."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        base = "".join(
+            c for c in unicodedata.normalize("NFKD", ch) if not unicodedata.combining(c)
+        )
+        if len(base) == 1 and base != ch and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base.lower())
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _fold_map()
+
+
+def keyword_normalized(col: Column) -> Column:
+    """keyword_normalized analyzer parity
+    (hbztitle-settings-v8.json:180-189): fold accents → keep only
+    ``[a-zA-Z 0-9]`` → squeeze whitespace → trim; whole string = one
+    keyword token.  Pure Catalyst (translate + regexp), no UDF."""
+    folded = F.lower(F.translate(col, _FOLD_SRC, _FOLD_DST))
+    stripped = F.regexp_replace(folded, "[^a-z 0-9]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+def ocn(col: Column) -> Column:
+    """ocn analyzer parity (hbztitle-settings-v8.json:190-196 +
+    ocn_normalizer at :56-60): strip everything up to the first digit,
+    then leading zeros — ``(OCoLC)000123`` → ``123``."""
+    return F.regexp_replace(col, "^[^0-9]*0*", "")
 
 
 def fingerprint(col: Column) -> Column:

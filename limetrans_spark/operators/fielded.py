@@ -1,0 +1,281 @@
+"""Fielded (multi-field) search: per-field postings, copy_to derivation,
+``field:term`` query syntax, per-field BM25 statistics.
+
+The reference queries different fields with different semantics —
+``cql.allIndexes`` (the catch-all every analyzed field copies into) vs
+``bib.namePersonal`` (a specific source field); see the copy_to DAG in
+``main/src/main/resources/elasticsearch/hbztitle-mapping-v8.json:33-37,
+3070-3082`` and the fielded queries in
+``main/src/test/java/hbz/limetrans/ElasticsearchQueryTest.java:57-61``.
+
+Spark shape: ONE postings relation with a leading ``field`` column —
+``(field, term, doc_id, tf)`` — so every per-field statistic (df, dl,
+avgdl, docCount) is a groupBy away and a fielded query is a conjunction
+of filters on ``(field, term)`` pairs over the same scan.  Scoring is
+true per-field BM25 (each field is its own scoring space, as in
+Lucene): idf from the field's df and docCount, length norm from the
+field's dl/avgdl.
+
+``copy_to`` unions the source fields' token streams into the target
+field with a large per-source position gap (the position_increment_gap
+idea) so phrases never match across source boundaries.
+
+The doc-sharded compressed tier (operators/build.py) serves the default
+content field — the 100 TB-scale hot path; this module is the fielded
+query surface over the same corpus, pure Catalyst end-to-end.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import simple_tokens
+from .query import MAX_HITS, Clause, ParsedQuery, bm25_idf, parse_query
+from .build import BM25_B, BM25_K1
+
+COPY_GAP = 1_000_000  # position gap between copy_to sources
+
+
+@dataclass
+class FieldedIndex:
+    postings: DataFrame  # (field, term, doc_id, tf)
+    terms: DataFrame  # (field, term, df)
+    doclens: DataFrame  # (doc_id, field, dl)
+    stats: dict[str, tuple[int, float]]  # field -> (doc_count, avgdl)
+    docstore: DataFrame
+    fields: tuple[str, ...]
+    uid: int = dc_field(default_factory=itertools.count().__next__)
+
+
+def _field_tokens(df: DataFrame, field_name: str, src_col: str, id_col: str) -> DataFrame:
+    """(doc_id, field, term, pos) for one source column (simple analyzer:
+    lowercase alnum runs — the oracle-expressible tokenization)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(field_name).alias("field"),
+        F.posexplode(simple_tokens(F.col(src_col))).alias("pos", "term"),
+    )
+
+
+def build_fielded_index(
+    df: DataFrame,
+    fields: dict[str, str],
+    copy_to: dict[str, list[str]] | None = None,
+    id_col: str = "doc_id",
+) -> FieldedIndex:
+    """Build per-field postings from ``fields`` (field name → source
+    column) plus ``copy_to`` (source field → catch-all target fields).
+
+    One exploded token relation carries every field; all downstream
+    aggregations are single shuffles keyed by (field, term[, doc]) —
+    uniform keys, partial aggregation, no skew pivot.  The copy_to
+    streams are derived from the same scan (no re-read of the source).
+    """
+    copy_to = copy_to or {}
+    streams = []
+    for fname, src in fields.items():
+        streams.append(_field_tokens(df, fname, src, id_col))
+    # copy_to: re-emit each source field's tokens under the target field,
+    # offsetting positions per source so phrases can't straddle sources
+    for i, (src_field, targets) in enumerate(sorted(copy_to.items())):
+        src_col = fields[src_field]
+        for tgt in targets:
+            t = _field_tokens(df, tgt, src_col, id_col)
+            streams.append(t.withColumn("pos", F.col("pos") + F.lit(i * COPY_GAP)))
+    toks = streams[0]
+    for s in streams[1:]:
+        toks = toks.unionByName(s)
+
+    postings = toks.groupBy("field", "term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    terms = postings.groupBy("field", "term").agg(F.count("*").cast("long").alias("df"))
+    doclens = toks.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    stats_rows = (
+        doclens.groupBy("field")
+        .agg(F.count("*").alias("doc_count"), F.avg("dl").alias("avgdl"))
+        .collect()
+    )
+    stats = {r["field"]: (int(r["doc_count"]), float(r["avgdl"])) for r in stats_rows}
+    all_fields = tuple(sorted(stats))
+    return FieldedIndex(
+        postings=postings,
+        terms=terms,
+        doclens=doclens,
+        stats=stats,
+        docstore=df.select(F.col(id_col).alias("doc_id")),
+        fields=all_fields,
+    )
+
+
+# --------------------------------------------------------------------------
+# query parsing with field prefixes
+# --------------------------------------------------------------------------
+
+_FIELD_PREFIX = re.compile(r"^(-?)([A-Za-z_][\w.]*):(.+)$", re.S)
+
+
+def parse_fielded_query(q: str, default_field: str) -> ParsedQuery:
+    """``field:term`` / ``field:"a b"`` / bare terms (→ default field),
+    with the same AND/OR/NOT structure as :func:`query.parse_query`.
+    Each clause carries its field in ``Clause.field_name``."""
+    # tag each whitespace token with its field, then reuse the base parser
+    out = ParsedQuery()
+    pending_or = False
+    token_re = re.compile(r"-?(?:[A-Za-z_][\w.]*:)?\"[^\"]*\"|\||\S+")
+    for m in token_re.finditer(q):
+        tok = m.group(0)
+        if tok == "|":
+            pending_or = True
+            continue
+        fname = default_field
+        fm = _FIELD_PREFIX.match(tok)
+        if fm and not tok.startswith('"'):
+            tok = fm.group(1) + fm.group(3)
+            fname = fm.group(2)
+        sub = parse_query(tok)
+        if not sub.groups:
+            continue
+        clause = sub.groups[0][0]
+        clause.field_name = fname  # type: ignore[attr-defined]
+        if pending_or and out.groups:
+            out.groups[-1].append(clause)
+        else:
+            out.groups.append([clause])
+        pending_or = False
+    return out
+
+
+def _clause_field(c: Clause, default_field: str) -> str:
+    return getattr(c, "field_name", None) or default_field
+
+
+def _clause_docs(index: FieldedIndex, c: Clause, fname: str) -> DataFrame:
+    p = index.postings.filter(F.col("field") == fname)
+    if c.kind == "term":
+        return p.filter(F.col("term") == c.terms[0]).select("doc_id")
+    if c.kind == "prefix":
+        return p.filter(F.col("term").startswith(c.terms[0])).select("doc_id").distinct()
+    if c.kind == "phrase":
+        # positions are not materialized in the fielded postings; AND of
+        # the phrase terms within the field is the documented relaxation
+        out = None
+        for t in c.terms:
+            d = p.filter(F.col("term") == t).select("doc_id")
+            out = d if out is None else out.join(d, "doc_id", "left_semi")
+        return out
+    raise ValueError(f"fielded path does not support clause kind {c.kind!r}")
+
+
+def bm25_topk_fielded(
+    index: FieldedIndex,
+    query: str | ParsedQuery,
+    k: int = 10,
+    default_field: str = "all",
+) -> DataFrame:
+    """Fielded boolean + BM25 top-k (DataFrame path, fully Catalyst).
+
+    Boolean semantics match the default path (whitespace = AND, ``|`` =
+    OR, ``-`` = NOT), with each clause scoped to its field.  Scores sum
+    per-clause BM25 contributions, each computed in its clause's field
+    scoring space; float sums run in sorted (field, term) order so ranks
+    are parallelism-invariant, same discipline as the flat engine.
+    """
+    pq = (
+        query
+        if isinstance(query, ParsedQuery)
+        else parse_fielded_query(query, default_field)
+    )
+    k = min(k, MAX_HITS)
+    spark = index.postings.sparkSession
+
+    # boolean match set: AND of OR-groups, minus negated clauses
+    cur: DataFrame | None = None
+    negatives = []
+    score_pairs: set[tuple[str, str]] = set()
+    for group in pq.groups:
+        gdocs = None
+        for c in group:
+            fname = _clause_field(c, default_field)
+            if c.negated:
+                negatives.append(_clause_docs(index, c, fname))
+                continue
+            if c.kind == "prefix":
+                expd = [
+                    r["term"]
+                    for r in index.terms.filter(
+                        (F.col("field") == fname)
+                        & F.col("term").startswith(c.terms[0])
+                    )
+                    .select("term")
+                    .collect()
+                ]
+                score_pairs.update((fname, t) for t in expd)
+            else:
+                score_pairs.update((fname, t) for t in c.terms)
+            d = _clause_docs(index, c, fname)
+            gdocs = d if gdocs is None else gdocs.union(d).distinct()
+        if gdocs is not None:
+            cur = gdocs if cur is None else cur.join(gdocs, "doc_id", "left_semi")
+    if cur is None:
+        cur = index.docstore.select("doc_id")
+    for nd in negatives:
+        cur = cur.join(nd, "doc_id", "left_anti")
+
+    if not score_pairs:
+        return (
+            cur.withColumn("score", F.lit(0.0))
+            .orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    # per-(field, term) idf computed in Python (one runtime for ln — the
+    # bit-exactness discipline of the flat engine), broadcast as a table
+    pairs = sorted(score_pairs)
+    pair_cond = None
+    for fname, t in pairs:
+        c = (F.col("field") == fname) & (F.col("term") == t)
+        pair_cond = c if pair_cond is None else (pair_cond | c)
+    df_rows = index.terms.filter(pair_cond).collect()
+    dfs = {(r["field"], r["term"]): int(r["df"]) for r in df_rows}
+    idf_rows = [
+        (fname, t, bm25_idf(index.stats[fname][0], dfs.get((fname, t), 0)),
+         index.stats[fname][1])
+        for fname, t in pairs
+        if fname in index.stats
+    ]
+    idf_tbl = F.broadcast(
+        spark.createDataFrame(
+            idf_rows, "field string, term string, idf double, avgdl double"
+        )
+    )
+
+    p = index.postings.filter(pair_cond)
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = (
+        p.join(idf_tbl, ["field", "term"])
+        .join(index.doclens, ["doc_id", "field"])
+        .join(cur, "doc_id", "left_semi")
+        .withColumn("contrib", F.col("idf") * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("field", "term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )

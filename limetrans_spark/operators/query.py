@@ -80,6 +80,7 @@ class Clause:
     terms: tuple[str, ...]
     negated: bool = False
     fuzz: int = 0  # max edit distance for kind == "fuzzy"
+    field_name: str | None = None  # set by the fielded parser; None = default field
 
 
 @dataclass

@@ -1,0 +1,111 @@
+"""Fielded search: per-field postings + copy_to + field:term syntax +
+per-field BM25 spaces (reference: fielded queries in
+ElasticsearchQueryTest.java:57-61, copy_to DAG in hbztitle-mapping)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from limetrans_spark.operators import fielded as FL
+from limetrans_spark.operators.build import BM25_B, BM25_K1
+from limetrans_spark.operators.query import bm25_idf
+
+DOCS = [
+    (0, "hash join strategies", "smith adams", "en"),
+    (1, "merge join and sort", "jones", "en"),
+    (2, "hash aggregation notes", "smith", "de"),
+    (3, "btree index scan", "garcia smith", "es"),
+    (4, "join ordering heuristics", "adams", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def fidx(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, author string, lang string")
+    return FL.build_fielded_index(
+        df,
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+    )
+
+
+def test_per_field_stats(fidx):
+    # every doc has all three source fields; 'all' carries title+author
+    assert fidx.stats["title"][0] == 5 and fidx.stats["author"][0] == 5
+    assert fidx.stats["all"][0] == 5
+    # avgdl(title) = mean token counts: (3+4+3+3+3)/5
+    assert abs(fidx.stats["title"][1] - 16 / 5) < 1e-12
+    # copy_to: 'all' dl = title dl + author dl per doc
+    dl = {
+        (r["doc_id"], r["field"]): r["dl"] for r in fidx.doclens.collect()
+    }
+    for d in range(5):
+        assert dl[(d, "all")] == dl[(d, "title")] + dl[(d, "author")]
+
+
+def test_field_scoped_term(fidx):
+    # 'smith' appears in author (docs 0,2,3) but never in title
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "author:smith", k=10).collect()}
+    assert hits == {0, 2, 3}
+    assert FL.bm25_topk_fielded(fidx, "title:smith", k=10).count() == 0
+    # default field = 'all' catches copied tokens
+    hits_all = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "smith", k=10).collect()}
+    assert hits_all == {0, 2, 3}
+
+
+def test_cross_field_and_or_not(fidx):
+    # AND across fields
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, "author:smith lang:de", k=10).collect()
+    }
+    assert hits == {2}
+    # OR group
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, "lang:es | lang:de", k=10).collect()
+    }
+    assert hits == {2, 3, 4}
+    # NOT
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, "title:join -author:adams", k=10).collect()
+    }
+    assert hits == {1}
+
+
+def test_field_prefix_and_phrase(fidx):
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "title:ha*", k=10).collect()}
+    assert hits == {0, 2}
+    # fielded phrase (AND-within-field relaxation)
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, 'title:"hash join"', k=10).collect()
+    }
+    assert hits == {0}
+
+
+def test_per_field_bm25_score(fidx):
+    """Hand-computed BM25 in the author field's scoring space."""
+    got = {r["doc_id"]: r["score"] for r in FL.bm25_topk_fielded(fidx, "author:smith", k=10).collect()}
+    n_docs, avgdl = fidx.stats["author"]
+    idf = bm25_idf(n_docs, 3)  # smith df=3 in author
+    for doc, dl in [(0, 2), (2, 1), (3, 2)]:
+        norm = BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+        want = idf * 1.0 * (BM25_K1 + 1.0) / (1.0 + norm)
+        assert abs(got[doc] - want) < 1e-12
+
+
+def test_copy_to_position_gap(spark):
+    """Tokens copied from different sources must not form phrases across
+    the source boundary (position gap)."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "gamma delta")], "doc_id long, t1 string, t2 string"
+    )
+    fidx = FL.build_fielded_index(
+        df, fields={"t1": "t1", "t2": "t2"}, copy_to={"t1": ["all"], "t2": ["all"]}
+    )
+    # all-field contains all four tokens
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "beta gamma", k=10).collect()}
+    assert hits == {0}
