@@ -9,6 +9,12 @@ Public surface (see README.md for the architecture):
 """
 
 from .operators.build import BuiltIndex, assign_doc_ids, build_index
+from .operators.fielded import (
+    FieldedIndex,
+    bm25_topk_fielded,
+    build_fielded_index,
+    parse_fielded_query,
+)
 from .operators.query import (
     MAX_HITS,
     bm25_topk_df,
@@ -16,6 +22,7 @@ from .operators.query import (
     matching_docs_df,
     parse_query,
 )
+from .operators.serve import LocalSearcher
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
@@ -29,15 +36,20 @@ from .session import get_spark
 __all__ = [
     "MAX_HITS",
     "BuiltIndex",
+    "FieldedIndex",
+    "LocalSearcher",
     "apply_deletes",
     "assign_doc_ids",
     "bm25_topk_df",
+    "bm25_topk_fielded",
     "bm25_topk_sharded",
     "build_and_publish",
+    "build_fielded_index",
     "build_index",
     "get_spark",
     "load_index",
     "matching_docs_df",
+    "parse_fielded_query",
     "parse_query",
     "retain_snapshots",
     "save_index",

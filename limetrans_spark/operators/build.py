@@ -164,14 +164,26 @@ INVERT_SCHEMA = (
 )
 
 
-def invert_docs(docs: DataFrame, text_col: str = "content", analyzer: str = "code") -> DataFrame:
+def invert_docs(
+    docs: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "code",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Map-side document inversion (the SPIMI mapper): one Arrow pass
     computes, per document, its length and its sorted (term, tf,
     pos_blob) fragments — positions leave the mapper ALREADY delta-gap
     varint encoded (one vectorized pass per Arrow batch), so downstream
     stages shuffle compact binary instead of int arrays and the block
     writer just concatenates bytes.  No shuffle here — raw tokens never
-    leave the task that tokenized them."""
+    leave the task that tokenized them.
+
+    ``passthrough`` columns ride along unchanged, so the docstore can be
+    projected straight off the inverted cache instead of re-joining the
+    corpus by doc_id afterwards (at 100 TB that join is a full-corpus
+    shuffle; here it's zero extra cost — the Arrow batch already holds
+    the row)."""
+    passthrough = tuple(dict.fromkeys(c for c in passthrough if c != "doc_id"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,15 +206,25 @@ def invert_docs(docs: DataFrame, text_col: str = "content", analyzer: str = "cod
                     out.append((term, tf, blobs[i]))
                     i += 1
                 rows.append(out)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "dl": [d for d, _ in inv],
-                    "postings": rows,
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "dl": [d for d, _ in inv],
+                "postings": rows,
+            }
+            for c in passthrough:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
-    return docs.select("doc_id", text_col).mapInPandas(fn, INVERT_SCHEMA)
+    schema = INVERT_SCHEMA
+    if passthrough:
+        extra = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in docs.schema.fields
+            if f.name in passthrough
+        )
+        schema = f"{INVERT_SCHEMA}, {extra}"
+    sel_extra = [c for c in passthrough if c != text_col]
+    return docs.select("doc_id", text_col, *sel_extra).mapInPandas(fn, schema)
 
 
 def explode_postings(inverted: DataFrame, keep_dl: bool = False) -> DataFrame:
@@ -510,9 +532,21 @@ def build_index(
 ) -> BuiltIndex:
     docs = corpus if "doc_id" in corpus.columns else assign_doc_ids(corpus, keys, mode=id_mode)
     docs = verify_sha256(docs, text_col) if text_col in docs.columns else docs
-    docs = docs.persist()
+    # small inputs (few files / few row groups) under-parallelize the
+    # tokenize stage; spread them once.  At corpus scale the scan already
+    # yields >> defaultParallelism splits, so this branch never fires and
+    # no shuffle of raw text is added.
+    sc = docs.sparkSession.sparkContext
+    spread = min(sc.defaultParallelism, 16)  # enough waves for a small input;
+    # more would just add per-task overhead to every downstream cache scan
+    if docs.rdd.getNumPartitions() * 2 <= spread:
+        docs = docs.repartition(spread)
 
-    inverted = invert_docs(docs, text_col, analyzer).persist()
+    # docstore columns ride through the inverter (Arrow pass-through) so
+    # the docstore is a projection of the inverted cache — no corpus-wide
+    # doc_id re-join after the build
+    passthrough = tuple(c for c in docs.columns if c != "doc_id")
+    inverted = invert_docs(docs, text_col, analyzer, passthrough=passthrough).persist()
     postings = explode_postings(inverted)
     if not with_positions:
         postings = postings.drop("pos_blob")
@@ -521,7 +555,7 @@ def build_index(
     n_docs, avgdl = corpus_stats(doclens)
     terms = term_stats(postings)
     shards = build_shards(postings, shard_size=shard_size)
-    docstore = docs.join(doclens, "doc_id", "left").fillna({"dl": 0})
+    docstore = inverted.drop("postings")
 
     metrics = {
         "n_docs": n_docs,

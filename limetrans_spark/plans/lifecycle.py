@@ -136,11 +136,35 @@ def save_index(
     snap = os.path.join(root, "snapshots", snap_name)
     os.makedirs(snap, exist_ok=True)
     t0 = time.time()
-    idx.docstore.write.mode("overwrite").parquet(os.path.join(snap, "docstore"))
-    idx.postings.write.mode("overwrite").parquet(os.path.join(snap, "postings"))
-    idx.terms.write.mode("overwrite").parquet(os.path.join(snap, "terms"))
-    idx.shards.write.mode("overwrite").parquet(os.path.join(snap, "shards"))
-    idx.shard_doclens().write.mode("overwrite").parquet(os.path.join(snap, "shard_dl"))
+    # the five artifacts all derive from the already-materialized
+    # inverted cache — submit their jobs concurrently (Spark schedules
+    # them across the same executors) instead of paying five sequential
+    # job latencies; exceptions propagate so a failed write still fails
+    # the publish (no alias swap)
+    import concurrent.futures as _cf
+
+    writes = [
+        (idx.docstore, "docstore"),
+        (idx.postings, "postings"),
+        # term-sorted dictionary → parquet min/max row-group stats answer
+        # prefix scans (t*) without reading the whole vocabulary
+        (idx.terms.repartitionByRange("term").sortWithinPartitions("term"), "terms"),
+        (idx.shards, "shards"),
+        (idx.shard_doclens(), "shard_dl"),
+    ]
+    with _cf.ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futs = [
+            pool.submit(
+                lambda df, sub: df.write.mode("overwrite").parquet(
+                    os.path.join(snap, sub)
+                ),
+                df,
+                sub,
+            )
+            for df, sub in writes
+        ]
+        for f in futs:
+            f.result()
     from ..operators.build import skew_report
 
     manifest = {
@@ -357,11 +381,27 @@ def build_and_publish(
     n_buckets: int = 16,
     wave_size: int = 4,
     retain: int = DEFAULT_RETAIN,
+    update: bool = False,
 ) -> BuildReport:
     """Full lifecycle: ids → sha check → checkpointed postings → stats →
     shards → snapshot → alias swap → retention.  The checkpoint dir is
-    keyed by (name, generation): re-running the same generation resumes."""
+    keyed by (name, generation): re-running the same generation resumes.
+
+    ``update=True`` is the reference's update mode
+    (ElasticsearchClient.java:110-112, checkIndex at :204-209): the build
+    must land in the CURRENT generation of an existing index — the alias
+    is resolved to its concrete snapshot and the job fails fast when no
+    index exists, instead of silently creating a fresh one.  The
+    ``generation`` argument is ignored in update mode."""
     t_start = time.time()
+    if update:
+        cur = current_snapshot(root)
+        if cur is None or not cur.startswith(f"{name}-"):
+            raise FileNotFoundError(
+                f"update mode requires an existing index for {name!r} "
+                "(checkIndex: index not found)"
+            )
+        generation = cur[len(name) + 1 :]
     docs = corpus if "doc_id" in corpus.columns else assign_doc_ids(corpus, keys)
     docs = verify_sha256(docs, text_col) if text_col in docs.columns else docs
     docs = docs.persist()

@@ -47,6 +47,73 @@ def corpus_stream(spark: SparkSession, landing_dir: str, max_files_per_trigger: 
     )
 
 
+OAI_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("identifier", T.StringType()),
+        T.StructField("datestamp", T.StringType()),  # ISO-8601 UTC
+        T.StructField("set_spec", T.StringType()),
+        T.StructField("metadata", T.StringType()),
+    ]
+)
+
+
+class OaiPmhQueue:
+    """Incremental OAI-PMH harvest window (``core/src/main/java/hbz/
+    limetrans/util/OaiPmhQueue.java:18-59``): records in ``[from, until)``
+    for a metadataPrefix and optional set, replayed through the batch
+    pipeline.
+
+    The transport is injectable: ``fetcher(uri, params) -> iterator of
+    page lists`` (each page = list of record dicts matching
+    ``OAI_RECORD_SCHEMA``), mirroring OAI-PMH resumption-token paging.
+    A production deployment plugs an HTTP ListRecords client in; this
+    sandbox has no network, so tests inject a deterministic fake — the
+    window/set/paging semantics and the Spark side are real either way.
+    """
+
+    def __init__(
+        self,
+        uri: str,
+        date_from: str | None = None,
+        date_until: str | None = None,
+        metadata_prefix: str = "marcxml",
+        set_spec: str | None = None,
+        fetcher=None,
+    ):
+        if fetcher is None:
+            raise NotImplementedError(
+                "no HTTP transport in this environment — inject fetcher("
+                "uri, params) yielding pages of record dicts"
+            )
+        self.uri = uri
+        self.date_from = date_from
+        self.date_until = date_until
+        self.metadata_prefix = metadata_prefix
+        self.set_spec = set_spec
+        self.fetcher = fetcher
+
+    def harvest(self, spark: SparkSession) -> DataFrame:
+        """Fetch all pages of the window → DataFrame (empty when the
+        endpoint has nothing new — the incremental-update no-op)."""
+        params = {
+            "metadataPrefix": self.metadata_prefix,
+            "from": self.date_from,
+            "until": self.date_until,
+            "set": self.set_spec,
+        }
+        rows = [r for page in self.fetcher(self.uri, params) for r in page]
+        df = spark.createDataFrame(rows, OAI_RECORD_SCHEMA)
+        # defense in depth: re-apply the window/set predicate engine-side
+        # (the reference trusts the endpoint; a scale harvest shouldn't)
+        if self.date_from:
+            df = df.filter(F.col("datestamp") >= self.date_from)
+        if self.date_until:
+            df = df.filter(F.col("datestamp") < self.date_until)
+        if self.set_spec:
+            df = df.filter(F.col("set_spec") == self.set_spec)
+        return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -63,3 +63,28 @@ def test_cli_build_search_filter_resume(corpus_path, tmp_path_factory):
     bad = run_cli("search", "--root", str(tmp_path_factory.mktemp("nope")), "--query", "x")
     assert bad.returncode == 1
     assert "error:" in bad.stderr
+
+
+def test_package_pyfiles_deterministic(tmp_path):
+    """--py-files deploy artifact: zip is importable and reproducible."""
+    import subprocess
+    import sys
+    import zipfile
+
+    out1 = str(tmp_path / "a.zip")
+    out2 = str(tmp_path / "b.zip")
+    subprocess.run([sys.executable, "tools/package_pyfiles.py", out1], check=True, cwd="/root/repo")
+    subprocess.run([sys.executable, "tools/package_pyfiles.py", out2], check=True, cwd="/root/repo")
+    assert open(out1, "rb").read() == open(out2, "rb").read()
+    names = zipfile.ZipFile(out1).namelist()
+    assert "limetrans_spark/__init__.py" in names
+    assert "limetrans_spark/operators/query.py" in names
+    assert not any("__pycache__" in n or n.startswith("tests") for n in names)
+    # importable in a clean interpreter with ONLY the zip on sys.path
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "sys.path = [p for p in sys.path if p not in ('', '/root/repo')]; "
+        "import limetrans_spark; print('ok')" % out1
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0 and "ok" in r.stdout

@@ -129,3 +129,18 @@ def test_retention_numeric_seq_and_base_scoping(tmp_path):
     assert {"code-20260816-9", "code-20260816-10", "code-20260816-11"} <= left
     # the 'other' index's two generations are a separate pool — untouched
     assert set(other) <= left
+
+
+def test_update_mode_requires_existing_index(spark, corpus, tmp_path):
+    """checkIndex parity (ElasticsearchClient.java:110-112, 204-209):
+    update mode fails fast when no index exists, and otherwise lands in
+    the CURRENT generation without minting a new one."""
+    root = str(tmp_path / "uroot")
+    with pytest.raises(FileNotFoundError):
+        lc.build_and_publish(corpus, root, "code", "ignored", update=True)
+    rep1 = lc.build_and_publish(corpus, root, "code", "g1")
+    assert lc.current_snapshot(root) == "code-g1"
+    rep2 = lc.build_and_publish(corpus, root, "code", "zzz-ignored", update=True)
+    assert lc.current_snapshot(root) == "code-g1"  # same generation, no new snapshot
+    assert lc.list_snapshots(root) == ["code-g1"]
+    assert rep2.index.n_docs == rep1.index.n_docs

@@ -204,3 +204,38 @@ def test_stateful_sessionization(spark, tmp_path):
         (1, "2020-01-01 10:00:00"): (2, 3.0),
         (1, "2020-01-01 12:30:00"): (1, 3.0),
     }
+
+
+def test_oai_pmh_harvest_window(spark):
+    """OaiPmhQueue parity (OaiPmhQueue.java:18-59): [from, until) window,
+    set filtering, resumption-token-style paging via the injected
+    fetcher; transport is pluggable (no HTTP in this sandbox)."""
+    pages_served = []
+
+    def fake_fetcher(uri, params):
+        assert uri == "https://example.org/oai"
+        assert params["metadataPrefix"] == "marcxml"
+        recs = [
+            {"identifier": f"oai:{i}", "datestamp": f"2026-01-{i:02d}T00:00:00Z",
+             "set_spec": "code" if i % 2 == 0 else "docs", "metadata": f"<r>{i}</r>"}
+            for i in range(1, 11)
+        ]
+        for start in (0, 5):  # two pages, like a resumption token
+            pages_served.append(start)
+            yield recs[start : start + 5]
+
+    q = ingest.OaiPmhQueue(
+        "https://example.org/oai",
+        date_from="2026-01-03T00:00:00Z",
+        date_until="2026-01-09T00:00:00Z",
+        set_spec="code",
+        fetcher=fake_fetcher,
+    )
+    got = sorted(r["identifier"] for r in q.harvest(spark).collect())
+    # window keeps days 3..8; set 'code' keeps even days → 4, 6, 8
+    assert got == ["oai:4", "oai:6", "oai:8"]
+    assert pages_served == [0, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ingest.OaiPmhQueue("https://example.org/oai")

@@ -57,9 +57,21 @@ def measure(cpus: int, n_docs: int, corpus_dir: str) -> dict:
         spark.catalog.clearCache()
         t0 = time.time()
         idx = build_index(corpus, analyzer="code", shard_size=1 << 14, id_mode="hash")
-        idx.shards.write.mode("overwrite").parquet(f"{out_dir}/shards")
-        idx.terms.write.mode("overwrite").parquet(f"{out_dir}/terms")
-        idx.docstore.drop("content").write.mode("overwrite").parquet(f"{out_dir}/docstore")
+        # concurrent artifact writes off the shared inverted cache (same
+        # as save_index / bench.py)
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(lambda df, p: df.write.mode("overwrite").parquet(p), df, p)
+                for df, p in [
+                    (idx.shards, f"{out_dir}/shards"),
+                    (idx.terms, f"{out_dir}/terms"),
+                    (idx.docstore.drop("content"), f"{out_dir}/docstore"),
+                ]
+            ]
+            for f in futs:
+                f.result()
         return idx, time.time() - t0
 
     # first build warms JIT/codegen/python workers; report the best of the
