@@ -244,6 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.jaccard_pairs(docs, threshold=0.9, max_token_df=ceiling)
 
     q["dedup_jaccard"] = dedup_jaccard
+
+    # n-gram shingle Jaccard: order-sensitive near-dup (word 3-shingles)
+    q["dedup_jaccard_3gram"] = lambda s, d: dedup.jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.2, ngram=3
+    )
     q["dedup_minhash"] = lambda s, d: dedup.minhash_lsh_candidates(
         _t(s, d, "documents"), num_hashes=8, bands=4
     )
@@ -633,6 +638,29 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.9"""
+
+    o["dedup_jaccard_3gram"] = """
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT id, t.term
+  FROM tk, unnest(CASE WHEN len(tk) >= 3
+      THEN list_transform(generate_series(1, len(tk) - 2),
+                          i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      ELSE [] END) AS t(term)
+),
+sizes AS (SELECT id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS i
+  FROM toks a JOIN toks b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.2"""
 
     _sig = ", ".join(
         f"MIN(md5('{i}:' || term)) AS h{i}" for i in range(8)

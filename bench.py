@@ -156,6 +156,7 @@ def main():
     for name in [
         "dedup_exact",
         "dedup_simhash",
+        "dedup_jaccard_3gram",  # shingle features are diverse → linear-ish
         "ann_topk",
         "ann_ivf",
         "text_profile",
@@ -166,6 +167,17 @@ def main():
     ]:
         _, dt = timed(lambda: qs[name](spark, SF_DIR).collect())
         queries[name] = round(dt, 3)
+
+    # embedding near-dup, production LSH shape: bucket count scales with
+    # the corpus (32 planes / 4 bands = 256 buckets per band → small
+    # candidate sets), unlike the recall-oriented 8-plane oracle gate
+    from limetrans_spark.operators import dedup as dd
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, dt = timed(
+        lambda: dd.embedding_lsh_pairs(emb, threshold=0.8, n_planes=32, bands=4).collect()
+    )
+    queries["dedup_embedding_lsh32"] = round(dt, 3)
 
     total = round(sum(queries.values()), 3)
     result = {

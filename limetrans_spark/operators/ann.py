@@ -13,6 +13,8 @@ a DuckDB oracle).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +54,69 @@ def cosine_topk(
     if exclude_id is not None:
         out = out.filter(F.col("id") != exclude_id)
     return out.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic Lloyd's k-means for corpora WITHOUT precomputed
+    cluster labels → (centroids, assignments ``(id, label)``).
+
+    Build-time only.  Determinism: initial centroids are the vectors of
+    the ``k`` smallest ids (no RNG, no partition-order dependence);
+    assignment is an Arrow-batched NumPy argmin against the broadcast
+    centroid matrix (one matmul per batch — never per-row Python);
+    update is one per-(cluster, dim) mean aggregation; empty clusters
+    keep their previous centroid.  Driver state is k×dim floats — tiny
+    at any corpus size; each iteration is one scan + one small shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    seeds = v.orderBy("id").limit(k).collect()
+    cents = np.asarray([r["v"] for r in seeds], dtype=np.float64)
+
+    def assign_df(c: np.ndarray) -> DataFrame:
+        cc = c.copy()
+
+        @pandas_udf(T.IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+            # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (m @ cc.T) + (cc * cc).sum(axis=1)[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        return v.select("id", assign(F.col("v")).alias("label"), "v")
+
+    for _ in range(n_iters):
+        a = assign_df(cents)
+        # exact decimal sums: double F.avg is reduction-order-dependent,
+        # which would make centroids (hence assignments at ties) vary with
+        # partitioning; quantize to 1e-12 and sum exactly instead, then
+        # divide once in Python — bit-identical at any parallelism
+        rows = (
+            a.select("label", F.posexplode("v").alias("dim", "val"))
+            .groupBy("label", "dim")
+            .agg(
+                F.sum(F.col("val").cast("decimal(30,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[int(r["label"]), int(r["dim"])] = float(r["s"]) / int(r["n"])
+        cents = new
+    final = assign_df(cents).select("id", "label")
+    v.unpersist()
+    return [[float(x) for x in c] for c in cents], final
 
 
 def ivf_build(

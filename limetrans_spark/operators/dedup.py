@@ -45,12 +45,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = df.select(
+def _token_sets(df: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> DataFrame:
+    """(id, term) distinct feature rows; ``ngram > 1`` switches the
+    feature space from single tokens to space-joined word shingles —
+    the n-gram Jaccard / shingle-MinHash variant (order-sensitive, much
+    sharper near-dup signal on boilerplate-heavy corpora)."""
+    toks = simple_tokens(F.col(text_col))
+    if ngram > 1:
+        feats = F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - ngram + 1),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        feats = toks
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(simple_tokens(F.col(text_col)))).alias("term"),
+        F.explode(F.array_distinct(feats)).alias("term"),
     )
-    return toks
 
 
 def jaccard_pairs(
@@ -59,8 +73,10 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_token_df: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Token-set Jaccard similarity join → (id_a, id_b, jaccard ≥ threshold).
+    ``ngram > 1`` computes Jaccard over word shingles instead of tokens.
 
     Inverted-index plan: explode distinct tokens, self-join on token
     (so only documents sharing ≥1 token ever pair), count shared tokens,
@@ -75,7 +91,7 @@ def jaccard_pairs(
     semantics); the pruned-term count is logged, never silent.  At 100 TB
     always set a ceiling; None computes exact Jaccard.
     """
-    toks = _token_sets(df, text_col, id_col).persist()
+    toks = _token_sets(df, text_col, id_col, ngram).persist()
     if max_token_df is not None:
         dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
         keep = dfreq.filter(F.col("df") <= max_token_df).select("term")
@@ -115,6 +131,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """→ (id, h0..h{n-1}): lexicographic-min of md5(salt‖token) per salt.
 
@@ -122,7 +139,7 @@ def minhash_signatures(
     permutation of the token universe) and — unlike xxhash — is
     bit-reproducible across Spark, DuckDB, and Python.
     """
-    toks = _token_sets(df, text_col, id_col)
+    toks = _token_sets(df, text_col, id_col, ngram)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -136,8 +153,10 @@ def minhash_lsh_candidates(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs → (id_a, id_b, n_bands_matched).
+    ``ngram > 1`` minhashes word shingles (the classic shingle-LSH).
 
     ``num_hashes/bands`` rows per band; documents collide in a band iff
     that band's signature slice is identical.  The band groupBy key is a
@@ -145,7 +164,7 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col, id_col)
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, ngram)
     per_band = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
@@ -265,7 +284,10 @@ def embedding_lsh_pairs(
     Deterministic given ``seed``; recall < 1 by construction — raise
     ``n_planes``/lower ``bands`` for tighter thresholds.
     """
-    from .ann import dot_expr
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
     assert n_planes % bands == 0
     rows_per_band = n_planes // bands
@@ -275,19 +297,23 @@ def embedding_lsh_pairs(
             [], "id_a long, id_b long, cosine double"
         )
     dim = len(first[0])
-    planes = random_hyperplanes(n_planes, dim, seed)
+    planes = np.asarray(random_hyperplanes(n_planes, dim, seed), dtype=np.float64)
 
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    bits = [
-        F.when(
-            dot_expr(F.col("v"), F.array(*[F.lit(c) for c in p])) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    sig = v.select("id", "v", F.concat(*bits).alias("sig"))
+
+    # one Arrow-batched matmul per batch: n_planes Catalyst fold
+    # expressions would blow past the codegen limits and fall back to
+    # interpreted evaluation — the matmul is both faster and simpler
+    @pandas_udf(T.StringType())
+    def sig_udf(vecs):
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        bits = (m @ planes.T) >= 0.0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    sig = v.select("id", "v", sig_udf(F.col("v")).alias("sig")).persist()
     banded = None
     for b in range(bands):
         part = sig.select(

@@ -184,3 +184,43 @@ def read_postings_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
     deltas = spark.read.parquet(out_dir)
     newest = deltas.groupBy("doc_id").agg(F.max("batch").alias("batch"))
     return deltas.join(newest, ["doc_id", "batch"], "left_semi").drop("batch")
+
+
+def compact_deltas(spark: SparkSession, out_dir: str, shard_size: int | None = None):
+    """Fold the accumulated postings deltas into a full queryable index —
+    the compaction half of the reference's daily-rebuild + incremental-
+    update split (``ElasticsearchClient`` rebuild vs ``update`` mode).
+
+    Semantics: compact(incremental batches) ≡ batch build over the final
+    corpus state (last write per doc wins) — tested for BM25 score
+    equality.  The deltas carry no positions, so the compacted index
+    answers term/boolean/BM25 but not phrase queries (documented
+    limitation of the delta format, not of compaction)."""
+    from ..operators.build import (
+        DEFAULT_SHARD_SIZE,
+        BuiltIndex,
+        build_shard_doclens,
+        build_shards,
+        corpus_stats,
+        doc_lengths_from_postings,
+        term_stats,
+    )
+
+    shard_size = shard_size or DEFAULT_SHARD_SIZE
+    postings = read_postings_deltas(spark, out_dir).persist()
+    # dl = Σ tf is exact for the streaming path's analyzer (no overlap
+    # tokens in flat_postings deltas)
+    doclens = doc_lengths_from_postings(postings).persist()
+    n_docs, avgdl = corpus_stats(doclens)
+    return BuiltIndex(
+        docstore=doclens.select("doc_id", "dl"),
+        postings=postings,
+        shards=build_shards(postings, shard_size=shard_size),
+        terms=term_stats(postings),
+        doclens=doclens,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        shard_size=shard_size,
+        metrics={"n_docs": n_docs, "avgdl": avgdl, "compacted_from": out_dir},
+        shard_dl=build_shard_doclens(doclens, shard_size),
+    )

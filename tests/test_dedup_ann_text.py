@@ -197,3 +197,45 @@ def test_embedding_lsh_pairs_no_cartesian_and_subset_of_exact(spark):
     }
     assert lsh <= exact          # no false positives (exact cosine re-check)
     assert len(lsh) >= 0.5 * len(exact) and exact  # sane recall on clustered data
+
+
+def test_ivf_train_kmeans_deterministic_and_pure(spark):
+    """Lloyd's trainer: recovers planted clusters, deterministic across
+    partitionings, and feeds ivf_topk end-to-end without labels."""
+    import numpy as np
+
+    from limetrans_spark.operators import ann
+
+    rng = np.random.default_rng(11)
+    k, dim = 4, 12
+    centers = rng.normal(size=(k, dim)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % k] + rng.normal(size=dim) * 0.1])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assign = ann.ivf_train(df, k=4, n_iters=4)
+    labels = {r["id"]: r["label"] for r in assign.collect()}
+    # purity: every planted cluster maps to exactly one learned label
+    mapping = {}
+    for i, lbl in labels.items():
+        mapping.setdefault(i % k, set()).add(lbl)
+    assert all(len(s) == 1 for s in mapping.values())
+    assert len({next(iter(s)) for s in mapping.values()}) == k
+
+    # determinism across partitionings
+    cents2, assign2 = ann.ivf_train(df.repartition(7), k=4, n_iters=4)
+    assert cents == cents2
+    assert labels == {r["id"]: r["label"] for r in assign2.collect()}
+
+    # end-to-end: trained labels drive the pruned search; probing all
+    # clusters reproduces exact brute force
+    labeled = df.join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+    qv = [float(x) for x in centers[1]]
+    pruned = ann.ivf_topk(labeled, qv, k=200, nprobe=4).collect()
+    exact = ann.cosine_topk(df, qv, k=200).collect()
+    assert {(r["id"], r["cosine"]) for r in pruned} == {
+        (r["id"], r["cosine"]) for r in exact
+    }
+    top = ann.ivf_topk(labeled, qv, k=5, nprobe=1).collect()
+    assert all(r["id"] % 4 == 1 for r in top)  # nearest cluster probed

@@ -239,3 +239,51 @@ def test_oai_pmh_harvest_window(spark):
 
     with _pytest.raises(NotImplementedError):
         ingest.OaiPmhQueue("https://example.org/oai")
+
+
+def test_compact_deltas_equals_batch_rebuild(spark, tmp_path):
+    """compact(incremental batches) ≡ batch build over the final corpus
+    state: identical BM25 top-k (ids AND scores) — the reference's
+    daily-rebuild vs incremental-update equivalence."""
+    from limetrans_spark.operators import query as Q
+    from limetrans_spark.operators.build import build_index
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [
+        {"doc_id": 0, "repo": "r", "path": "a", "commit": "c", "lang": "py",
+         "content": "merge sort fast merge"},
+        {"doc_id": 1, "repo": "r", "path": "b", "commit": "c", "lang": "py",
+         "content": "hash join slow"},
+    ]
+    batch2 = [
+        {"doc_id": 1, "repo": "r", "path": "b", "commit": "c2", "lang": "py",
+         "content": "merge join fast"},  # re-index: replaces doc 1
+        {"doc_id": 2, "repo": "r", "path": "c", "commit": "c", "lang": "py",
+         "content": "sort merge join"},
+    ]
+    _write_jsonl(f"{landing}/h1.jsonl", batch1)
+    ingest.incremental_index(ingest.corpus_stream(spark, landing), out, ckpt).awaitTermination(120)
+    _write_jsonl(f"{landing}/h2.jsonl", batch2)
+    ingest.incremental_index(ingest.corpus_stream(spark, landing), out, ckpt).awaitTermination(120)
+
+    compacted = ingest.compact_deltas(spark, out, shard_size=64)
+
+    final_state = [batch1[0], batch2[0], batch2[1]]  # last write per doc
+    fresh = build_index(
+        spark.createDataFrame(
+            [(r["doc_id"], r["content"]) for r in final_state], "doc_id long, content string"
+        ),
+        analyzer="simple", shard_size=64, with_positions=False,
+    )
+    assert compacted.n_docs == fresh.n_docs
+    assert abs(compacted.avgdl - fresh.avgdl) < 1e-12
+    for q in ["merge", "merge join", "sort | join"]:
+        a = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(compacted, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(fresh, q, k=10).collect()]
+        assert a == b, q
+    # sharded path over the compacted shards agrees too
+    c = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_sharded(compacted, "merge | join", k=10).collect()]
+    d = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_sharded(fresh, "merge | join", k=10).collect()]
+    assert c == d
