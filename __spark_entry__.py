@@ -317,6 +317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["keyword_ocn"] = keyword_ocn
 
+    # --- sessionization semantics, batch twin (gated face of the
+    # applyInPandasWithState streaming operator) ---------------------------
+    def sessions_batch(s, d):
+        from limetrans_spark.streaming.sessionize import sessionize_batch
+
+        return sessionize_batch(_t(s, d, "events"), gap_seconds=3600.0)
+
+    q["sessions_batch"] = sessions_batch
+
     # --- general analytics (scan/filter/agg/join/window/time-bucket) ------
     def tpch_q1(s, d):
         li = _t(s, d, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
@@ -771,6 +780,28 @@ WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
          e.vec_id ASC
 LIMIT 10"""
+
+    o["sessions_batch"] = """
+WITH lagd AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR extract(epoch FROM ts) - extract(epoch FROM LAG(ts) OVER w) > 3600.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sn
+  FROM lagd
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM s GROUP BY user_id, sn"""
 
     # ISBN-10 derivation + validation + 10→13 conversion, mirrored in SQL
     _w10 = " + ".join(f"substr(body, {i}, 1)::INT * {11 - i}" for i in range(1, 10))

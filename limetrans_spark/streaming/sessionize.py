@@ -146,3 +146,49 @@ def sessionize(
             ),
         )
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch twin of :func:`sessionize` — identical gap semantics as one
+    Catalyst window pipeline (lag → session-break flag → running sum →
+    per-session aggregate).  Emits EVERY session (a finite input closes
+    them all); the streaming operator's closed sessions are a prefix of
+    this output, which the equivalence pytest asserts.  Fully
+    SQL-expressible, so this is the oracle-gated face of the
+    sessionization semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # NTZ timestamps can't cast straight to double under ANSI; go through
+    # epoch micros (session tz is pinned UTC in get_spark)
+    ts_s = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    prev = F.lag(ts_s).over(w)
+    flagged = events.select(
+        F.col(user_col), F.col(ts_col), F.col(value_col),
+        F.when(prev.isNull() | ((ts_s - prev) > gap_seconds), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    numbered = flagged.withColumn(
+        "_sn", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        numbered.groupBy(user_col, "_sn")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .drop("_sn")
+    )

@@ -88,3 +88,42 @@ def test_package_pyfiles_deterministic(tmp_path):
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert r.returncode == 0 and "ok" in r.stdout
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """North-rule deployment shape: the job runs under spark-submit with
+    ONLY the packaged zip providing the engine (fresh JVM, no repo on
+    sys.path), builds an index and answers a sharded BM25 query."""
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    zip_path = str(tmp_path / "pkg.zip")
+    subprocess.run(
+        [sys.executable, "tools/package_pyfiles.py", zip_path], check=True, cwd="/root/repo"
+    )
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json\n"
+        "from pyspark.sql import SparkSession\n"
+        "from limetrans_spark.operators.build import build_index\n"
+        "from limetrans_spark.operators import query as Q\n"
+        "from limetrans_spark.sources.corpus import synth_corpus\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "idx = build_index(synth_corpus(spark, 120, partitions=4), shard_size=64)\n"
+        "rows = Q.bm25_topk_sharded(idx, 'tokenize | score', k=5).collect()\n"
+        "print('SUBMIT_RESULT', len(rows), rows[0]['doc_id'])\n"
+        "spark.stop()\n"
+    )
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path, str(job)],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SUBMIT_RESULT 5 111" in r.stdout  # rank-identical to the library run

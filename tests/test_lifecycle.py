@@ -110,6 +110,10 @@ def test_snapshot_scan_pushdown(spark, corpus, root):
     assert "In(term" in plan
     plan2 = idx.postings.filter(F.col("term") == "tokenize")._jdf.queryExecution().toString()
     assert "EqualTo(term,tokenize)" in plan2
+    # prefix expansions push StringStartsWith into the (term-sorted)
+    # dictionary parquet → row-group pruning instead of a full vocab scan
+    plan3 = idx.terms.filter(F.col("term").startswith("tok"))._jdf.queryExecution().toString()
+    assert "StringStartsWith(term,tok)" in plan3
 
 
 def test_retention_numeric_seq_and_base_scoping(tmp_path):

@@ -287,3 +287,62 @@ def test_compact_deltas_equals_batch_rebuild(spark, tmp_path):
     c = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_sharded(compacted, "merge | join", k=10).collect()]
     d = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_sharded(fresh, "merge | join", k=10).collect()]
     assert c == d
+
+
+def test_sessionize_batch_twin_matches_streaming(spark, tmp_path):
+    """The batch twin (oracle-gated) and the stateful streaming operator
+    implement the same gap semantics: streaming's CLOSED sessions equal
+    the batch sessions minus each user's final (still-open) session."""
+    import json as _json
+
+    from limetrans_spark.streaming.sessionize import sessionize, sessionize_batch
+
+    rows = [
+        {"user_id": 1, "ts": "2020-01-01 10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2020-01-01 10:10:00", "value": 2.0},
+        {"user_id": 1, "ts": "2020-01-01 12:30:00", "value": 3.0},
+        {"user_id": 1, "ts": "2020-01-01 15:00:00", "value": 7.0},
+        {"user_id": 2, "ts": "2020-01-01 09:00:00", "value": 5.0},
+        {"user_id": 2, "ts": "2020-01-01 09:05:00", "value": 5.0},
+    ]
+    landing = tmp_path / "in"
+    landing.mkdir()
+    with open(landing / "b.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts string, value double")
+        .json(str(landing))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = str(tmp_path / "sess")
+    q = (
+        sessionize(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["value"]) for r in rows], "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = sessionize_batch(batch_df, gap_seconds=1800.0)
+    allb = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    # drop each user's final session (open in the streaming view)
+    last = {}
+    for t in allb:
+        if t[0] not in last or t[1] > last[t[0]][1]:
+            last[t[0]] = t
+    assert streamed == allb - set(last.values())
+    # user 1: [10:00-10:10], [12:30], [15:00]; user 2: [09:00-09:05] → 4
+    # sessions total; the two non-final user-1 sessions are closed
+    assert len(allb) == 4 and len(streamed) == 2
