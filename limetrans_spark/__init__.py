@@ -11,6 +11,7 @@ Public surface (see README.md for the architecture):
 from .operators.build import BuiltIndex, assign_doc_ids, build_index
 from .operators.fielded import (
     FieldedIndex,
+    LocalFieldedSearcher,
     bm25_topk_fielded,
     build_fielded_index,
     parse_fielded_query,
@@ -37,6 +38,7 @@ __all__ = [
     "MAX_HITS",
     "BuiltIndex",
     "FieldedIndex",
+    "LocalFieldedSearcher",
     "LocalSearcher",
     "apply_deletes",
     "assign_doc_ids",

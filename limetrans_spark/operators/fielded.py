@@ -279,3 +279,118 @@ def bm25_topk_fielded(
         .limit(k)
         .select("doc_id", "score")
     )
+
+
+class LocalFieldedSearcher:
+    """Serving tier for fielded queries — same role as
+    ``serve.LocalSearcher`` for the flat index: load the per-field
+    postings + doclens + stats once (driver-side collect; a production
+    replica loads its slice from the snapshot parquet) and answer
+    ``field:term`` boolean/BM25 queries in pure Python/NumPy at
+    interactive latency, rank-identical to :func:`bm25_topk_fielded`
+    (same idf source, same sorted-(field,term) float64 summation, same
+    doc_id tie-break)."""
+
+    def __init__(self, postings_rows, doclens_rows, stats, all_docs, fields):
+        import numpy as np
+
+        self.stats = stats
+        self.fields = fields
+        self._plists: dict[tuple[str, str], tuple] = {}
+        by_key: dict[tuple[str, str], list[tuple[int, int]]] = {}
+        for r in postings_rows:
+            by_key.setdefault((r["field"], r["term"]), []).append(
+                (int(r["doc_id"]), int(r["tf"]))
+            )
+        for key, pairs in by_key.items():
+            pairs.sort()
+            self._plists[key] = (
+                np.asarray([d for d, _ in pairs], dtype=np.int64),
+                np.asarray([t for _, t in pairs], dtype=np.float64),
+            )
+        self._dl: dict[tuple[int, str], float] = {
+            (int(r["doc_id"]), r["field"]): float(r["dl"]) for r in doclens_rows
+        }
+        self._all_docs = sorted(all_docs)
+
+    @classmethod
+    def from_index(cls, fidx: FieldedIndex) -> "LocalFieldedSearcher":
+        return cls(
+            fidx.postings.collect(),
+            fidx.doclens.collect(),
+            fidx.stats,
+            [int(r["doc_id"]) for r in fidx.docstore.collect()],
+            fidx.fields,
+        )
+
+    def _clause_docset(self, c: Clause, fname: str) -> set[int]:
+        if c.kind == "term":
+            pl = self._plists.get((fname, c.terms[0]))
+            return set(pl[0].tolist()) if pl else set()
+        if c.kind == "prefix":
+            out: set[int] = set()
+            for (f, t), pl in self._plists.items():
+                if f == fname and t.startswith(c.terms[0]):
+                    out.update(pl[0].tolist())
+            return out
+        if c.kind == "phrase":  # AND-within-field relaxation (as the DF path)
+            cur: set[int] | None = None
+            for t in c.terms:
+                pl = self._plists.get((fname, t))
+                s = set(pl[0].tolist()) if pl else set()
+                cur = s if cur is None else (cur & s)
+            return cur or set()
+        raise ValueError(f"fielded serving does not support clause kind {c.kind!r}")
+
+    def search(
+        self, query: str | ParsedQuery, k: int = 10, default_field: str = "all"
+    ) -> list[tuple[int, float]]:
+        pq = (
+            query
+            if isinstance(query, ParsedQuery)
+            else parse_fielded_query(query, default_field)
+        )
+        k = min(k, MAX_HITS)
+        cur: set[int] | None = None
+        negs: list[set[int]] = []
+        score_pairs: set[tuple[str, str]] = set()
+        for group in pq.groups:
+            gdocs: set[int] | None = None
+            for c in group:
+                fname = _clause_field(c, default_field)
+                if c.negated:
+                    negs.append(self._clause_docset(c, fname))
+                    continue
+                if c.kind == "prefix":
+                    score_pairs.update(
+                        (f, t)
+                        for (f, t) in self._plists
+                        if f == fname and t.startswith(c.terms[0])
+                    )
+                else:
+                    score_pairs.update((fname, t) for t in c.terms)
+                d = self._clause_docset(c, fname)
+                gdocs = d if gdocs is None else (gdocs | d)
+            if gdocs is not None:
+                cur = gdocs if cur is None else (cur & gdocs)
+        if cur is None:
+            cur = set(self._all_docs)
+        for n in negs:
+            cur -= n
+        if not score_pairs:
+            return [(d, 0.0) for d in sorted(cur)[:k]]
+        scores: dict[int, float] = {}
+        for fname, term in sorted(score_pairs):  # sorted-pair float order
+            pl = self._plists.get((fname, term))
+            if pl is None or fname not in self.stats:
+                continue
+            dc, avgdl = self.stats[fname]
+            idf = bm25_idf(dc, int(pl[0].size))
+            for doc, tf in zip(pl[0].tolist(), pl[1].tolist()):
+                if doc not in cur:
+                    continue
+                dl = self._dl.get((doc, fname), 0.0)
+                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                scores[doc] = scores.get(doc, 0.0) + idf * tf * (BM25_K1 + 1.0) / (tf + norm)
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(d, s) for d, s in ranked]

@@ -109,3 +109,23 @@ def test_copy_to_position_gap(spark):
     # all-field contains all four tokens
     hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "beta gamma", k=10).collect()}
     assert hits == {0}
+
+
+def test_local_fielded_searcher_matches_df_path(fidx):
+    """Serving tier ≡ DataFrame path for fielded queries: same docs,
+    same scores to 1e-9, same tie-break."""
+    s = FL.LocalFieldedSearcher.from_index(fidx)
+    for q in [
+        "author:smith",
+        "author:smith lang:de",
+        "lang:es | lang:de",
+        "title:join -author:adams",
+        "title:ha*",
+        'title:"hash join"',
+        "smith",  # default field (copy_to catch-all)
+    ]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=15).collect()]
+        b = s.search(q, k=15)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert abs(sa - sb) < 1e-9, q
