@@ -326,6 +326,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessions_batch"] = sessions_batch
 
+    # --- explicit skew handling: salted two-phase aggregation -------------
+    def salted_agg_events(s, d):
+        from limetrans_spark.operators.skew import salted_agg
+
+        # exact decimal accumulator: double SUM is reduction-order-
+        # dependent and the salted two-phase order differs from DuckDB's
+        ev = _t(s, d, "events").withColumn(
+            "dval", F.col("value").cast("decimal(28,6)")
+        )
+        out = salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", "*"), "total": ("sum", "dval"), "vmax": ("max", "value")},
+            n_salts=16,
+        )
+        return out.select(
+            "event_type",
+            "n",
+            F.round(F.col("total").cast("double"), 6).alias("total"),
+            "vmax",
+        )
+
+    q["salted_agg_events"] = salted_agg_events
+
     # --- general analytics (scan/filter/agg/join/window/time-bucket) ------
     def tpch_q1(s, d):
         li = _t(s, d, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
@@ -780,6 +804,11 @@ WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
          e.vec_id ASC
 LIMIT 10"""
+
+    o["salted_agg_events"] = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(value::DECIMAL(28,6))::DOUBLE, 6) AS total, MAX(value) AS vmax
+FROM events GROUP BY event_type"""
 
     o["sessions_batch"] = """
 WITH lagd AS (

@@ -48,3 +48,44 @@ def test_skew_report(index):
     dfs = [r["df"] for r in rep]
     assert dfs == sorted(dfs, reverse=True)
     assert all(0.0 <= r["doc_share"] <= 1.0 for r in rep)
+
+
+def test_salted_agg_exact_and_spread(spark):
+    """Salted two-phase aggregation equals the plain groupBy exactly
+    (algebraic aggregates) and spreads a zipfian hot key over many
+    phase-1 groups."""
+    from limetrans_spark.operators.skew import salted_agg
+
+    rows = [("hot", float(i % 7)) for i in range(20000)] + [
+        (f"k{i % 50}", float(i)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(16)
+    got = {
+        r["k"]: (r["n"], r["total"], r["vmax"])
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "vmax": ("max", "v")}
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["total"], r["vmax"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"), F.max("v").alias("vmax"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2] == want[k][2]
+        assert abs(got[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1]))
+    # the hot key's phase-1 partials spread over >1 salt group
+    from limetrans_spark.operators.skew import salted_agg as _sa  # noqa: F401
+    p1 = (
+        df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(16)))
+        .groupBy("k", "_salt").count().filter(F.col("k") == "hot").count()
+    )
+    assert p1 > 4
+
+    from limetrans_spark.operators.skew import salted_broadcast_left
+
+    small = spark.createDataFrame([("hot", 1), ("k3", 2)], "k string, tag int")
+    joined = salted_broadcast_left(df, small, "k")
+    assert joined.count() == 20000 + 40  # hot rows + k3 rows
