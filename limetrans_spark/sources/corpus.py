@@ -139,3 +139,44 @@ def synth_corpus_rows(n_rows: int, seed: int = DEFAULT_SEED,
             }
         )
     return rows
+
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_corpus(
+    spark: SparkSession,
+    source: str,
+    fmt: str = "parquet",
+    columns: tuple[str, ...] = CORPUS_COLUMNS,
+) -> DataFrame:
+    """Load the corpus table ``(repo, path, commit, lang, content)`` from
+    its production home (BASELINE.json ``input_hint``: an Iceberg table
+    of source-code repositories) or a parquet path.
+
+    ``fmt="iceberg"`` reads a catalog table (``spark.table`` resolves
+    catalog.db.table through the Iceberg runtime — snapshot isolation,
+    partition pruning and file skipping come from the table format);
+    this sandbox ships no Iceberg runtime, so that branch raises a clear
+    error instead of a JVM stack trace.  ``fmt="parquet"`` reads a path.
+    Column presence is validated up front either way — a missing content
+    column should fail at plan time, not three stages into a build.
+    """
+    if fmt == "iceberg":
+        try:
+            df = spark.table(source)
+        except Exception as e:  # pragma: no cover - depends on runtime jars
+            raise RuntimeError(
+                "Iceberg runtime not available in this Spark session "
+                "(add iceberg-spark-runtime to spark.jars.packages and "
+                "configure a catalog); reading parquet instead requires "
+                "fmt='parquet'"
+            ) from e
+    elif fmt == "parquet":
+        df = spark.read.parquet(source)
+    else:
+        raise ValueError(f"unknown corpus format {fmt!r}")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"corpus table is missing columns {missing}; has {df.columns}")
+    return df.select(*[c for c in df.columns if c in set(columns) | {"doc_id"}])

@@ -166,3 +166,22 @@ def test_multiline_decode_survives_file_splits(spark, tmp_path):
         assert len(rec["0331"]) == 6
         assert rec["0331"][0].startswith(f"rec{i-1}-line0")
         assert rec["0331"][5].startswith(f"rec{i-1}-line5")
+
+
+def test_read_corpus_parquet_and_validation(spark, tmp_path):
+    from limetrans_spark.sources.corpus import read_corpus, synth_corpus
+
+    p = str(tmp_path / "corpus")
+    synth_corpus(spark, 20, partitions=2).write.parquet(p)
+    df = read_corpus(spark, p)
+    assert set(df.columns) >= {"repo", "path", "commit", "lang", "content"}
+    assert df.count() == 20
+    # missing column fails at plan time with a clear message
+    spark.range(3).write.parquet(str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="missing columns"):
+        read_corpus(spark, str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        read_corpus(spark, p, fmt="csvish")
+    # iceberg branch raises the documented error when the runtime is absent
+    with pytest.raises((RuntimeError, Exception)):
+        read_corpus(spark, "cat.db.corpus", fmt="iceberg")
