@@ -42,7 +42,7 @@ class FileQueue:
     order: str = "asc"  # asc | desc
     max_files: int | None = None
     max_age: float | None = None
-    processor: str = "jsonl"  # jsonl | json | text | parquet | binary
+    processor: str = "jsonl"  # jsonl | json | text | parquet | binary | formeta
 
     def resolve(self) -> list[str]:
         """Driver-side listing: glob, filter by age, sort, cap."""
@@ -77,6 +77,10 @@ class FileQueue:
             return spark.read.parquet(*files)
         if self.processor == "binary":
             return spark.read.format("binaryFile").load(files)
+        if self.processor == "formeta":
+            from ..functions.formeta import read_formeta
+
+            return read_formeta(spark, files)
         raise ValueError(f"unknown processor {self.processor}")
 
 
