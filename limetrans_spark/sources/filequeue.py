@@ -6,12 +6,11 @@ Re-expresses the reference's ``FileQueue``
 list (glob under a base path, sort by name or mtime asc/desc, cap by
 ``max`` count and ``max-age`` seconds) and hands the explicit list to
 ``spark.read`` so the scan parallelizes per file split.  Format
-processors (``FileQueue.java:42-110``: MARCXML / MARC21 / JSON / JSONL /
-SISIS / ALMAXML) map to Spark readers; the formats themselves are
-library-metadata-specific, so this module ships the generic four the
-code-corpus engine needs — ``jsonl``, ``json`` (multiLine), ``text``,
-``parquet``, ``binary`` — plus the SISIS-style multi-line record
-assembler.  Gzip decompression is transparent in Spark's text/json
+processors (``FileQueue.java:42-110``): ``jsonl``, ``json`` (multiLine),
+``text``, ``parquet``, ``binary``, ``formeta`` (functions/formeta),
+``marc21``/``marc21records`` (ISO 2709, record-split text scan) and
+``marcxml``/``almaxml`` (sources/marc), plus the SISIS-style multi-line
+record assembler below.  Gzip decompression is transparent in Spark's text/json
 readers (``FileQueue.java:176-177`` analogue); BGZF files are valid
 concatenated gzip, so they read the same way.
 
@@ -42,7 +41,7 @@ class FileQueue:
     order: str = "asc"  # asc | desc
     max_files: int | None = None
     max_age: float | None = None
-    processor: str = "jsonl"  # jsonl | json | text | parquet | binary | formeta
+    processor: str = "jsonl"  # jsonl|json|text|parquet|binary|formeta|marc21|marcxml|almaxml
 
     def resolve(self) -> list[str]:
         """Driver-side listing: glob, filter by age, sort, cap."""
@@ -81,6 +80,14 @@ class FileQueue:
             from ..functions.formeta import read_formeta
 
             return read_formeta(spark, files)
+        if self.processor in ("marc21", "marc21records"):
+            from .marc import read_marc21
+
+            return read_marc21(spark, files)
+        if self.processor in ("marcxml", "almaxml"):
+            from .marc import read_marcxml
+
+            return read_marcxml(spark, files)
         raise ValueError(f"unknown processor {self.processor}")
 
 
