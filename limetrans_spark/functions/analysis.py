@@ -66,8 +66,14 @@ _DELIM = re.compile(r"[-_]")
 
 
 def _fold(s: str) -> str:
-    """ICU-folding analogue: NFC normalize, strip combining marks."""
+    """ICU-folding analogue: NFC normalize, strip combining marks, and
+    expand the ligatures NFKD leaves intact (ß→ss, æ/œ — the cases
+    icu_folding + german_normalization cover in the reference chain,
+    hbztitle-settings-v8.json:46-49,173-178)."""
     s = unicodedata.normalize("NFC", s)
+    s = s.replace("ß", "ss").replace("ẞ", "SS").replace("æ", "ae").replace(
+        "Æ", "AE"
+    ).replace("œ", "oe").replace("Œ", "OE")
     nk = unicodedata.normalize("NFKD", s)
     return "".join(c for c in nk if not unicodedata.combining(c))
 
@@ -140,6 +146,21 @@ def invert_py(text: str, analyzer: str = "code") -> tuple[int, list[tuple[str, i
     if analyzer == "code":
         toks = code_tokenize_py(text)
         dl = (max(p for _, p in toks) + 1) if toks else 0
+    elif analyzer == "simple_stem":
+        # keyword_repeat → porter → unique: the index holds the stem AND
+        # the original at one position (the reference's stemmed analyzer
+        # shape, hbztitle-settings-v8.json:160-171); stems are overlap
+        # tokens, so dl stays the surface token count
+        from .stem import porter_stem
+
+        terms = simple_tokenize_py(text)
+        toks = []
+        for i, t in enumerate(terms):
+            toks.append((t, i))
+            st = porter_stem(t)
+            if st != t:
+                toks.append((st, i))
+        dl = len(terms)
     else:
         terms = simple_tokenize_py(text)
         toks = list(zip(terms, range(len(terms))))
@@ -181,3 +202,13 @@ def analyze_query(text: str) -> list[QueryToken]:
         )
         out.append(QueryToken(raw=raw.lower(), catenated="".join(parts), parts=parts))
     return out
+
+
+def stemmed_query_tokenize_py(text: str) -> list[str]:
+    """Query-side analyzer for a ``simple_stem`` index: stem each token
+    (no keyword_repeat at query time — the index already holds both the
+    stem and the original, so the stemmed query form matches either).
+    Pass as ``parse_query(q, analyze=stemmed_query_tokenize_py)``."""
+    from .stem import porter_stem
+
+    return [porter_stem(t) for t in simple_tokenize_py(text)]

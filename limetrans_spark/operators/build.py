@@ -141,6 +141,27 @@ def tokenize(docs: DataFrame, text_col: str = "content", analyzer: str = "code")
             F.posexplode(simple_tokens(F.col(text_col))).alias("pos", "term"),
         )
         return toks.select("doc_id", "term", F.col("pos").cast("int"))
+    if analyzer == "simple_stem":
+        # surface token + (if different) its Porter stem at one position
+        from ..functions.stem import porter_stem
+
+        @F.pandas_udf("array<struct<term:string,pos:int>>")
+        def stem_toks(texts: pd.Series) -> pd.Series:
+            from ..functions.analysis import simple_tokenize_py
+
+            def one(t):
+                out = []
+                for i, tok in enumerate(simple_tokenize_py(t or "")):
+                    out.append((tok, i))
+                    st = porter_stem(tok)
+                    if st != tok:
+                        out.append((st, i))
+                return out
+
+            return texts.map(one)
+
+        toks = docs.select("doc_id", F.explode(stem_toks(F.col(text_col))).alias("tok"))
+        return toks.select("doc_id", F.col("tok.term").alias("term"), F.col("tok.pos").alias("pos"))
     raise ValueError(analyzer)
 
 

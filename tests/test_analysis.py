@@ -66,6 +66,12 @@ def test_unicode_folding_and_nfc():
     assert toks("café") == toks("café")
 
 
+def test_ligature_expansion():
+    # icu_folding + german_normalization parity: ss-ligature and ae/oe
+    assert toks("Stra\u00dfe") == toks("Strasse") == [("strasse", 0)]
+    assert toks("C\u00e6sar") == [("caesar", 0)]
+
+
 def test_numerics_not_split():
     assert toks("utf8") == [("utf8", 0)]
     assert toks("sha256sum") == [("sha256sum", 0)]
@@ -97,3 +103,55 @@ def test_empty_and_punct_only():
     assert toks("") == []
     assert toks("(){};;=->") == []
     assert code_doc_length([]) == 0
+
+
+def test_simple_stem_analyzer_and_query_matching(spark):
+    """D18 unstemmed/stemmed variant: the simple_stem index holds stem +
+    original at one position (dl = surface count), and a stemmed query
+    matches all inflections while exact queries still work."""
+    from limetrans_spark.functions.analysis import (
+        invert_py,
+        stemmed_query_tokenize_py,
+    )
+    from limetrans_spark.operators import query as Q
+    from limetrans_spark.operators.build import build_index
+
+    dl, postings = invert_py("running runs connected", "simple_stem")
+    terms = {t for t, _, _ in postings}
+    assert dl == 3
+    assert {"running", "run", "runs", "connected", "connect"} <= terms
+
+    docs = spark.createDataFrame(
+        [(0, "the runner was running fast"),
+         (1, "he runs daily"),
+         (2, "a connection pool"),
+         (3, "nothing related here")],
+        "doc_id long, content string",
+    )
+    idx = build_index(docs, analyzer="simple_stem", shard_size=64)
+    pq = Q.parse_query("running", analyze=stemmed_query_tokenize_py)
+    hits = {r["doc_id"] for r in Q.matching_docs_df(idx, pq).collect()}
+    assert hits == {0, 1}  # run/runs/running all share the stem 'run'
+    pq2 = Q.parse_query("connections", analyze=stemmed_query_tokenize_py)
+    assert {r["doc_id"] for r in Q.matching_docs_df(idx, pq2).collect()} == {2}
+    # exact surface query still matches (original token kept in index)
+    assert {r["doc_id"] for r in Q.matching_docs_df(idx, "runner").collect()} == {0}
+
+
+def test_porter_published_vectors():
+    from limetrans_spark.functions.stem import porter_stem as p
+
+    vecs = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "conflated": "conflat", "hopping": "hop",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "vietnamization": "vietnam",
+        "operator": "oper", "decisiveness": "decis", "triplicate": "triplic",
+        "electriciti": "electr", "hopeful": "hope", "goodness": "good",
+        "allowance": "allow", "inference": "infer", "adjustable": "adjust",
+        "replacement": "replac", "adoption": "adopt", "activate": "activ",
+        "effective": "effect", "probate": "probat", "rate": "rate",
+        "controll": "control", "roll": "roll",
+    }
+    assert {k: p(k) for k in vecs} == vecs
