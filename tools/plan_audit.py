@@ -1,0 +1,79 @@
+import sys, io, re
+sys.path.insert(0, "/root/repo")
+from limetrans_spark.session import get_spark
+from limetrans_spark.operators.build import build_index
+from limetrans_spark.operators import query as Q, ann, dedup
+from limetrans_spark.plans import lifecycle as lc
+from limetrans_spark.sources.corpus import synth_corpus
+from pyspark.sql import functions as F
+
+spark = get_spark(master="local[8]")
+spark.sparkContext.setLogLevel("ERROR")
+
+sections = []
+def grab(title, df, note):
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    # operator tree + the scan-detail lines that prove pushdown/pruning
+    parts = plan.split("\n\n")
+    tree = parts[0]
+    details = []
+    for block in parts[1:]:
+        for line in block.splitlines():
+            ls = line.strip()
+            if ls.startswith(("PushedFilters:", "PartitionFilters:", "ReadSchema:", "Location:")):
+                details.append(ls[:160])
+        if details and details[-1] != "":
+            details.append("")
+    sections.append((title, note, tree + "\n\n-- scan details --\n" + "\n".join(details)))
+
+import tempfile, os
+root = tempfile.mkdtemp()
+corpus = synth_corpus(spark, 400, partitions=8)
+lc.build_and_publish(corpus, root, "code", "g1", shard_size=64, n_buckets=4)
+idx = lc.load_index(spark, root)
+
+grab("Sharded BM25 query (term-pruned scan → cogroup → per-shard WAND → k-merge)",
+     Q.bm25_topk_sharded(idx, "tokenize | score", k=10),
+     "PushedFilters In(term,…) on the shards scan; the dl side is one row per shard "
+     "(shard_dl blobs), never the corpus doclens; global merge sees ≤ k·n_shards rows.")
+
+grab("DataFrame BM25 (flat AND, single-pass)",
+     Q.bm25_topk_df(idx, "tokenize score", k=10),
+     "One postings scan with the term filter pushed down; per-term idf table is a "
+     "broadcast; TakeOrderedAndProject instead of a global sort.")
+
+grab("Prefix expansion over the term dictionary",
+     idx.terms.filter(F.col("term").startswith("tok")),
+     "StringStartsWith pushed to the term-sorted dictionary parquet → row-group pruning.")
+
+emb = spark.createDataFrame(
+    [(i, [float((i*j) % 7) for j in range(8)], i % 4) for i in range(100)],
+    "vec_id long, embedding array<double>, label int")
+p = os.path.join(root, "emb"); emb.write.partitionBy("label").parquet(p)
+part = spark.read.parquet(p)
+cents = ann.ivf_build(part)
+grab("IVF probe scan (after centroid-only cluster selection)",
+     part.filter(F.col("label").isin([1, 2])),
+     "PartitionFilters on label: probing = partition pruning, no full-corpus cosine stage.")
+
+docs = spark.createDataFrame([(i, f"alpha beta w{i}") for i in range(50)], "doc_id long, text string")
+grab("Jaccard with high-DF ceiling",
+     dedup.jaccard_pairs(docs, threshold=0.5, max_token_df=40),
+     "left_semi against the df-capped term set BEFORE the self-join — ubiquitous tokens "
+     "never reach the pair generation.")
+
+out = io.StringIO()
+out.write("""# PLANS — physical-plan audit of the headline operators
+
+`explain("formatted")` extracts captured by `tools/plan_audit.py` (run on a
+400-doc snapshot; the plan SHAPES are size-independent). The properties
+asserted here are also guarded by plan-regression tests
+(tests/test_lifecycle.py::test_snapshot_scan_pushdown,
+tests/test_dedup_ann_text.py IVF/LSH plan checks).
+
+""")
+for title, note, tree in sections:
+    out.write(f"## {title}\n\n{note}\n\n```\n{tree.strip()}\n```\n\n")
+open("/root/repo/PLANS.md", "w").write(out.getvalue())
+print("written", len(sections), "sections")
