@@ -527,6 +527,14 @@ class BuiltIndex:
             self.shard_dl = build_shard_doclens(self.doclens, self.shard_size)
         return self.shard_dl
 
+    def get_document(self, doc_id: int) -> dict | None:
+        """getDocument(id) analogue (ElasticsearchClient.java:393-409):
+        point lookup against the docstore — the EqualTo(doc_id) predicate
+        reaches the parquet scan, so row groups outside the id's range
+        are skipped."""
+        rows = self.docstore.filter(F.col("doc_id") == int(doc_id)).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
 
 def verify_sha256(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Attach ``content_sha256`` and (if the source already carries a

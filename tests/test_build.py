@@ -152,3 +152,14 @@ def test_empty_and_tokenless_docs(spark):
     assert idx.docstore.count() == 3  # all rows stored
     assert Q.matching_docs_df(idx, "alpha").count() == 1
     assert Q.bm25_topk_df(idx, "", k=10).count() == 3  # match_all sees all
+
+
+def test_get_document_point_lookup(spark):
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    idx = build_index(synth_corpus(spark, 30, partitions=2), shard_size=16)
+    some = idx.docstore.select("doc_id").orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    doc = idx.get_document(some)
+    assert doc is not None and doc["doc_id"] == some and "content" in doc
+    assert idx.get_document(10**12) is None
