@@ -315,10 +315,15 @@ def skew_report(terms: DataFrame, n_docs: int, top: int = 20) -> list[dict]:
 
 
 def corpus_stats(doclens: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) with avgdl = exact int64 sum / count, divided once
+    in Python: float avg() sums partials in partition order, and a 1-ulp
+    avgdl difference would silently break bit-identical ranks across
+    cluster sizes (dl is integral, so the sum is exact)."""
     row = doclens.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n"), F.sum("dl").alias("dl_sum")
     ).collect()[0]
-    return int(row["n"]), float(row["avgdl"] or 0.0)
+    n = int(row["n"])
+    return n, (int(row["dl_sum"]) / n if n else 0.0)
 
 
 # --------------------------------------------------------------------------

@@ -96,12 +96,18 @@ def build_fielded_index(
     )
     terms = postings.groupBy("field", "term").agg(F.count("*").cast("long").alias("df"))
     doclens = toks.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    # exact integer sum → one Python division: float avg() is reduction-
+    # order-dependent and would break bit-identical ranks across
+    # partitionings (dl is integral, so the sum is exact in int64)
     stats_rows = (
         doclens.groupBy("field")
-        .agg(F.count("*").alias("doc_count"), F.avg("dl").alias("avgdl"))
+        .agg(F.count("*").alias("doc_count"), F.sum("dl").alias("dl_sum"))
         .collect()
     )
-    stats = {r["field"]: (int(r["doc_count"]), float(r["avgdl"])) for r in stats_rows}
+    stats = {
+        r["field"]: (int(r["doc_count"]), int(r["dl_sum"]) / int(r["doc_count"]))
+        for r in stats_rows
+    }
     all_fields = tuple(sorted(stats))
     return FieldedIndex(
         postings=postings,

@@ -129,3 +129,27 @@ def test_local_fielded_searcher_matches_df_path(fidx):
         assert [d for d, _ in a] == [d for d, _ in b], q
         for (_, sa), (_, sb) in zip(a, b):
             assert abs(sa - sb) < 1e-9, q
+
+
+def test_fielded_rank_identity_across_partitionings(spark):
+    """North-rule invariant extended to the fielded path: identical docs
+    AND scores at different input partitionings."""
+    rows = [
+        (i, f"term{i % 7} hash join w{i}", f"author{i % 5} smith", ["en", "de", "es"][i % 3])
+        for i in range(60)
+    ]
+    a = FL.build_fielded_index(
+        spark.createDataFrame(rows, "doc_id long, title string, author string, lang string").repartition(3),
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+    )
+    b = FL.build_fielded_index(
+        spark.createDataFrame(rows, "doc_id long, title string, author string, lang string").repartition(11),
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+    )
+    assert a.stats == b.stats
+    for q in ["author:smith lang:de", "hash join", "title:term1 | title:term2"]:
+        ra = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(a, q, k=20).collect()]
+        rb = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(b, q, k=20).collect()]
+        assert ra == rb, q
