@@ -350,6 +350,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_agg_events"] = salted_agg_events
 
+    # --- multimodal metadata path (decode plumbing over binary payloads) --
+    def multimodal_meta(s, d):
+        from limetrans_spark.multimodal.binary import decode_assets
+
+        assets = _t(s, d, "documents").select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("image").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+        )
+        out = decode_assets(assets)
+        return out.select(
+            "asset_id", "n_bytes", "sha256", "width", "height",
+            F.round("mean_byte", 6).alias("mean_byte"),
+        )
+
+    q["multimodal_meta"] = multimodal_meta
+
     # --- general analytics (scan/filter/agg/join/window/time-bucket) ------
     def tpch_q1(s, d):
         li = _t(s, d, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
@@ -809,6 +827,20 @@ LIMIT 10"""
 SELECT event_type, COUNT(*)::BIGINT AS n,
        ROUND(SUM(value::DECIMAL(28,6))::DOUBLE, 6) AS total, MAX(value) AS vmax
 FROM events GROUP BY event_type"""
+
+    # multimodal decode over utf-8 payloads: the corpus text is ASCII, so
+    # byte i == ascii(char i) and the metadata is fully SQL-expressible
+    o["multimodal_meta"] = """
+SELECT doc_id AS asset_id,
+       octet_length(encode(text))::INT AS n_bytes,
+       sha256(text) AS sha256,
+       (ascii(substr(text, 1, 1)) + 1)::INT AS width,
+       (ascii(substr(text, 2, 1)) + 1)::INT AS height,
+       ROUND(list_aggregate(
+               list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1))), 'sum')
+             ::DOUBLE / length(text), 6) AS mean_byte
+FROM documents"""
 
     o["sessions_batch"] = """
 WITH lagd AS (
