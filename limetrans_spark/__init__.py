@@ -13,7 +13,9 @@ from .operators.fielded import (
     FieldedIndex,
     LocalFieldedSearcher,
     bm25_topk_fielded,
+    bm25_topk_fielded_sharded,
     build_fielded_index,
+    build_fielded_sharded,
     parse_fielded_query,
 )
 from .operators.query import (
@@ -44,9 +46,11 @@ __all__ = [
     "assign_doc_ids",
     "bm25_topk_df",
     "bm25_topk_fielded",
+    "bm25_topk_fielded_sharded",
     "bm25_topk_sharded",
     "build_and_publish",
     "build_fielded_index",
+    "build_fielded_sharded",
     "build_index",
     "get_spark",
     "load_index",

@@ -20,9 +20,14 @@ field's dl/avgdl.
 field with a large per-source position gap (the position_increment_gap
 idea) so phrases never match across source boundaries.
 
-The doc-sharded compressed tier (operators/build.py) serves the default
-content field — the 100 TB-scale hot path; this module is the fielded
-query surface over the same corpus, pure Catalyst end-to-end.
+Three execution tiers, rank-identical for the shared query surface
+(tested): the pure-Catalyst DataFrame path (:func:`bm25_topk_fielded`),
+the serving tier (:class:`LocalFieldedSearcher`), and per-field
+compressed doc-sharded indexes (:func:`build_fielded_sharded` +
+:func:`bm25_topk_fielded_sharded`) — each field rides the full
+single-field machinery (SPIMI build, delta+varint blocks, block-max
+WAND), so single-field ranked queries go straight to
+``bm25_topk_sharded`` on that field's index at 100 TB scale.
 """
 
 from __future__ import annotations
@@ -400,3 +405,147 @@ class LocalFieldedSearcher:
                 scores[doc] = scores.get(doc, 0.0) + idf * tf * (BM25_K1 + 1.0) / (tf + norm)
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(d, s) for d, s in ranked]
+
+
+# --------------------------------------------------------------------------
+# fielded over the compressed/sharded machinery: one BuiltIndex per field
+# --------------------------------------------------------------------------
+
+
+def build_fielded_sharded(
+    df: DataFrame,
+    fields: dict[str, str],
+    copy_to: dict[str, list[str]] | None = None,
+    id_col: str = "doc_id",
+    shard_size: int = 1 << 17,
+):
+    """Per-field compressed doc-sharded indexes over a SHARED doc_id
+    space → ``{field: BuiltIndex}``.
+
+    Each field is its own scoring space (how Lucene models fields), so
+    each gets the full single-field machinery — SPIMI build, delta+varint
+    blocks, block-max WAND, LocalSearcher — unchanged and with all its
+    invariants.  copy_to targets index the space-joined concatenation of
+    their sources (dl and term stats match the union of the source
+    streams; phrases can straddle a source boundary here, unlike the
+    position-gapped DataFrame tier — the one documented deviation).
+    Single-field ranked queries route straight to that field's
+    ``bm25_topk_sharded``; cross-field queries compose through
+    :func:`bm25_topk_fielded_sharded`.
+    """
+    from .build import build_index
+
+    copy_to = copy_to or {}
+    sources: dict[str, list[str]] = {f: [src] for f, src in fields.items()}
+    for src_field, targets in sorted(copy_to.items()):
+        for tgt in targets:
+            sources.setdefault(tgt, []).append(fields[src_field])
+    out = {}
+    for fname, cols in sources.items():
+        text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
+        docs = df.select(F.col(id_col).alias("doc_id"), text.alias("content"))
+        out[fname] = build_index(
+            docs, text_col="content", analyzer="simple", shard_size=shard_size
+        )
+    return out
+
+
+def bm25_topk_fielded_sharded(
+    indexes: dict,
+    query: str | ParsedQuery,
+    k: int = 10,
+    default_field: str = "all",
+) -> DataFrame:
+    """Fielded boolean + BM25 top-k over per-field sharded indexes,
+    rank-identical to :func:`bm25_topk_fielded` by construction (same
+    per-field stats, same Python idf, same sorted-(field,term) float
+    summation, same tie-break) — tested for equality.
+
+    Boolean membership per clause comes from the clause's field index
+    (term-pruned scans); scoring unions the per-field contribution
+    relations and sums in sorted (field, term) order.
+    """
+    from .query import _clause_docs_df, _expand_prefix, _idf_table, matching_docs_df
+
+    pq = (
+        query
+        if isinstance(query, ParsedQuery)
+        else parse_fielded_query(query, default_field)
+    )
+    k = min(k, MAX_HITS)
+
+    # boolean match set: AND of OR-groups, minus negations, per field
+    cur: DataFrame | None = None
+    negatives = []
+    score_terms: dict[str, set[str]] = {}
+    for group in pq.groups:
+        gdocs = None
+        for c in group:
+            fname = _clause_field(c, default_field)
+            idx = indexes[fname]
+            if c.negated:
+                negatives.append(_clause_docs_df(idx, c))
+                continue
+            if c.kind == "prefix":
+                score_terms.setdefault(fname, set()).update(
+                    _expand_prefix(idx, c.terms[0])
+                )
+            else:
+                score_terms.setdefault(fname, set()).update(c.terms)
+            d = _clause_docs_df(idx, c)
+            gdocs = d if gdocs is None else gdocs.union(d).distinct()
+        if gdocs is not None:
+            cur = gdocs if cur is None else cur.join(gdocs, "doc_id", "left_semi")
+    if cur is None:
+        any_idx = next(iter(indexes.values()))
+        cur = any_idx.docstore.select("doc_id")
+    for nd in negatives:
+        cur = cur.join(nd, "doc_id", "left_anti")
+
+    if not score_terms:
+        return (
+            cur.withColumn("score", F.lit(0.0))
+            .orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    contribs = None
+    for fname in sorted(score_terms):
+        idx = indexes[fname]
+        qterms = sorted(score_terms[fname])
+        p = idx.postings.filter(F.col("term").isin(qterms))
+        tfd = F.col("tf").cast("double")
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(float(idx.avgdl))
+        )
+        c = (
+            p.join(_idf_table(idx, qterms), "term")
+            .join(idx.doclens, "doc_id")
+            .select(
+                "doc_id",
+                F.lit(fname).alias("field"),
+                "term",
+                (F.col("idf") * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm)).alias(
+                    "contrib"
+                ),
+            )
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    scored = (
+        contribs.join(cur, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("field", "term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )

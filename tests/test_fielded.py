@@ -153,3 +153,59 @@ def test_fielded_rank_identity_across_partitionings(spark):
         ra = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(a, q, k=20).collect()]
         rb = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(b, q, k=20).collect()]
         assert ra == rb, q
+
+
+def test_fielded_sharded_matches_df_tier(spark):
+    """Per-field sharded indexes reproduce the DataFrame fielded tier
+    bit-exactly (same per-field stats by construction) for term/prefix/
+    boolean queries, and add TRUE positional phrases per field."""
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, author string, lang string")
+    fidx = FL.build_fielded_index(
+        df,
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+    )
+    sidx = FL.build_fielded_sharded(
+        df,
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+        shard_size=4,
+    )
+    assert set(sidx) == {"title", "author", "lang", "all"}
+    # stats agree field by field (docCount, exact avgdl)
+    for f, (dc, avgdl) in fidx.stats.items():
+        assert sidx[f].n_docs == dc and abs(sidx[f].avgdl - avgdl) < 1e-15, f
+    for q in [
+        "author:smith",
+        "author:smith lang:de",
+        "lang:es | lang:de",
+        "title:join -author:adams",
+        "title:ha*",
+        "smith",
+    ]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=15).collect()]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=15).collect()
+        ]
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert abs(sa - sb) < 1e-9, q
+    # true positional phrase within a field on the sharded tier
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded_sharded(sidx, 'title:"hash join"', k=15).collect()
+    }
+    assert hits == {0}
+    assert (
+        FL.bm25_topk_fielded_sharded(sidx, 'title:"join hash"', k=15).count() == 0
+    )  # order matters — the DF tier's AND relaxation would match doc 0
+    # single-field ranked queries route straight to that field's
+    # compressed WAND machinery
+    from limetrans_spark.operators import query as Q
+
+    wand = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in Q.bm25_topk_sharded(sidx["author"], "smith | adams", k=15).collect()
+    ]
+    assert {d for d, _ in wand} == {0, 2, 3, 4}  # smith docs ∪ adams docs
