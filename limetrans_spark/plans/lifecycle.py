@@ -432,3 +432,41 @@ def build_and_publish(
         extra_metrics={**ck_metrics, "build_sec": round(time.time() - t_start, 3)},
     )
     return BuildReport(index=idx, snapshot=snap, metrics=ck_metrics)
+
+
+# --------------------------------------------------------------------------
+# fielded snapshots: one single-field snapshot tree per field
+# --------------------------------------------------------------------------
+
+
+def save_fielded(
+    indexes: dict,
+    root: str,
+    name: str,
+    generation: str,
+    retain: int = DEFAULT_RETAIN,
+) -> dict:
+    """Persist a ``build_fielded_sharded`` result: each field's
+    BuiltIndex snapshots under ``root/fields/<field>/`` with the normal
+    lifecycle (alias swap, retention), plus a top-level manifest naming
+    the fields so ``load_fielded`` needs no directory guessing."""
+    paths = {}
+    for fname, idx in sorted(indexes.items()):
+        paths[fname] = save_index(
+            idx, os.path.join(root, "fields", fname), name, generation, retain=retain
+        )
+    tmp = os.path.join(root, "fielded_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "generation": generation, "fields": sorted(indexes)}, f)
+    os.replace(tmp, os.path.join(root, "fielded_manifest.json"))
+    return paths
+
+
+def load_fielded(spark: SparkSession, root: str) -> dict:
+    """Open every field's current snapshot → {field: BuiltIndex}."""
+    with open(os.path.join(root, "fielded_manifest.json")) as f:
+        m = json.load(f)
+    return {
+        fname: load_index(spark, os.path.join(root, "fields", fname))
+        for fname in m["fields"]
+    }

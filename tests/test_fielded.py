@@ -209,3 +209,25 @@ def test_fielded_sharded_matches_df_tier(spark):
         for r in Q.bm25_topk_sharded(sidx["author"], "smith | adams", k=15).collect()
     ]
     assert {d for d, _ in wand} == {0, 2, 3, 4}  # smith docs ∪ adams docs
+
+
+def test_fielded_snapshot_roundtrip(spark, tmp_path):
+    """save_fielded/load_fielded: published per-field snapshots answer
+    fielded queries identically to the in-memory build."""
+    from limetrans_spark.plans.lifecycle import load_fielded, save_fielded
+
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, author string, lang string")
+    sidx = FL.build_fielded_sharded(
+        df,
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+        shard_size=4,
+    )
+    root = str(tmp_path / "froot")
+    save_fielded(sidx, root, "code", "g1")
+    loaded = load_fielded(spark, root)
+    assert set(loaded) == set(sidx)
+    for q in ["author:smith lang:de", "smith", "title:ha*"]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(loaded, q, k=10).collect()]
+        assert a == b, q
