@@ -245,10 +245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_jaccard"] = dedup_jaccard
 
-    # n-gram shingle Jaccard: order-sensitive near-dup (word 3-shingles)
-    q["dedup_jaccard_3gram"] = lambda s, d: dedup.jaccard_pairs(
-        _t(s, d, "documents"), threshold=0.2, ngram=3
-    )
+    # n-gram shingle Jaccard: order-sensitive near-dup (word 3-shingles).
+    # Shingle mode always runs with a df-ceiling (repeated boilerplate
+    # shingles are exactly the features that go quadratic at 100 TB):
+    # 5% of the corpus, floored at 16 — same formula as jaccard_pairs'
+    # "auto" default, passed explicitly so the oracle can mirror it.
+    def dedup_jaccard_3gram(s, d):
+        docs = _t(s, d, "documents")
+        ceiling = max(16, docs.count() // 20)
+        return dedup.jaccard_pairs(
+            docs, threshold=0.2, ngram=3, max_token_df=ceiling
+        )
+
+    q["dedup_jaccard_3gram"] = dedup_jaccard_3gram
     q["dedup_minhash"] = lambda s, d: dedup.minhash_lsh_candidates(
         _t(s, d, "documents"), num_hashes=8, bands=4
     )
@@ -696,13 +705,18 @@ WITH tk AS (
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
   FROM documents
 ),
-toks AS (
+toks0 AS (
   SELECT DISTINCT id, t.term
   FROM tk, unnest(CASE WHEN len(tk) >= 3
       THEN list_transform(generate_series(1, len(tk) - 2),
                           i -> array_to_string(list_slice(tk, i, i + 2), ' '))
       ELSE [] END) AS t(term)
 ),
+keep AS (
+  SELECT term FROM toks0 GROUP BY term
+  HAVING COUNT(*) <= GREATEST(16, (SELECT COUNT(*) FROM documents) // 20)
+),
+toks AS (SELECT toks0.* FROM toks0 JOIN keep USING (term)),
 sizes AS (SELECT id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS i
@@ -861,7 +875,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        COUNT(*)::BIGINT AS n_events,
-       ROUND(SUM(value), 6) AS total_value
+       ROUND(SUM(value::DECIMAL(28,6))::DOUBLE, 6) AS total_value
 FROM s GROUP BY user_id, sn"""
 
     # ISBN-10 derivation + validation + 10→13 conversion, mirrored in SQL

@@ -72,7 +72,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
     ngram: int = 1,
 ) -> DataFrame:
     """Token-set Jaccard similarity join → (id_a, id_b, jaccard ≥ threshold).
@@ -89,32 +89,61 @@ def jaccard_pairs(
     ``max_token_df`` are dropped from BOTH the join and the set sizes
     (Jaccard over the pruned token sets — the standard stop-token
     semantics); the pruned-term count is logged, never silent.  At 100 TB
-    always set a ceiling; None computes exact Jaccard.
+    always set a ceiling; ``None`` opts into exact Jaccard.  The default
+    ``"auto"`` keeps single-token mode exact but applies
+    ``max(16, n_docs // 20)`` in shingle mode (``ngram > 1``), where
+    repeated boilerplate shingles are precisely the high-DF features
+    that go quadratic.
+
+    The result is materialized and cached before return (the caller owns
+    that cache — ``.unpersist()`` when done); every intermediate cache is
+    released here.
     """
-    toks = _token_sets(df, text_col, id_col, ngram).persist()
+    if max_token_df == "auto":
+        max_token_df = max(16, df.count() // 20) if ngram > 1 else None
+    toks_all = _token_sets(df, text_col, id_col, ngram).persist()
+    toks = toks_all
     if max_token_df is not None:
-        dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+        dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
         keep = dfreq.filter(F.col("df") <= max_token_df).select("term")
         n_pruned = dfreq.filter(F.col("df") > max_token_df).count()
         _LOG.info(
             "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
         )
-        toks = toks.join(keep, "term", "left_semi")
+        toks = toks_all.join(keep, "term", "left_semi")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # attach each doc's set size to its token rows BEFORE the self-join:
+    # the pair table (≫ #docs once near-dups are dense) then never
+    # re-joins a corpus-sized side — sz rides through the aggregation as
+    # a grouping key.  The exchange of toks by id is shared with the
+    # sizes aggregate (Spark exchange reuse); sizes itself is never
+    # force-broadcast (corpus-sized — AQE downgrades when small).
+    toks_sz = toks.join(sizes, "id")
+    a = toks_sz.alias("a")
+    b = toks_sz.alias("b")
+    # exact size-ratio prune inside the join: J = i/(a+b−i) ≤ min/max, so
+    # min/max < t can never pass the final filter.  Both ratios are
+    # correctly-rounded double divisions of the same real ordering, and
+    # rounding-to-nearest is monotone — the prune keeps a strict superset
+    # of the final pairs (no boundary-pair loss).
+    pair_cond = (
+        (F.col("a.term") == F.col("b.term"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            / F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= F.lit(float(threshold))
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    # sizes is corpus-sized (one row per doc) — never force a broadcast;
-    # AQE downgrades to broadcast on its own when the side is small
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, pair_cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -123,6 +152,12 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # materialize the (small) pair set while the token cache is hot, then
+    # release the corpus-sized intermediate — a long-lived session must
+    # not accumulate storage blocks per dedup call
+    out = out.persist()
+    out.count()
+    toks_all.unpersist()
     return out
 
 
@@ -283,6 +318,10 @@ def embedding_lsh_pairs(
     :func:`embedding_near_dup_pairs` (the exact oracle baseline).
     Deterministic given ``seed``; recall < 1 by construction — raise
     ``n_planes``/lower ``bands`` for tighter thresholds.
+
+    The result is materialized and cached before return (the caller owns
+    that cache — ``.unpersist()`` when done); the signature cache is
+    released here.
     """
     import numpy as np
     import pandas as pd
@@ -337,7 +376,7 @@ def embedding_lsh_pairs(
     vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     from .ann import cosine_expr as _cos
 
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -345,3 +384,7 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    out = out.persist()
+    out.count()
+    sig.unpersist()
+    return out

@@ -212,9 +212,11 @@ def apply_deletes(
     docstore = idx.docstore.join(victims, "doc_id", "left_anti")
     doclens = idx.doclens.join(victims, "doc_id", "left_anti").persist()
     postings = idx.postings.join(victims, "doc_id", "left_anti")
-    row = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["a"] or 0.0)
-    from ..operators.build import build_shards, term_stats
+    # exact int64-sum ÷ once (corpus_stats): float avg() is reduction-
+    # order-dependent and would make post-delete ranks vary by partitioning
+    from ..operators.build import build_shards, corpus_stats, term_stats
+
+    n_docs, avgdl = corpus_stats(doclens)
 
     return BuiltIndex(
         docstore=docstore,

@@ -66,10 +66,12 @@ def parse_marc21_record(rec: str) -> tuple[str | None, str, list[tuple]]:
     (record_id, leader, [(tag, ind1, ind2, sub, value)]).
 
     Pure function shared by the Spark UDF and the pytest vectors.
-    Directory-driven when offsets are consistent; falls back to
-    splitting on the field terminator when they are not (records
-    re-encoded after charset conversion often have stale offsets — the
-    tag SEQUENCE in the directory is still authoritative).
+    Parsing strategy: the directory's tag SEQUENCE is authoritative, the
+    field payloads come from splitting the body on the field terminator
+    (0x1E) and zipping with that sequence — directory byte offsets are
+    deliberately NOT trusted (records re-encoded after charset
+    conversion often carry stale offsets, while terminators survive);
+    a field-count mismatch between directory and body raises.
     """
     if len(rec) < 26:
         raise ValueError("truncated MARC record")

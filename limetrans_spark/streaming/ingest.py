@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.build import flat_postings, tokenize
+from ..operators.build import doc_lengths, flat_postings, tokenize
 
 CORPUS_SCHEMA = T.StructType(
     [
@@ -148,14 +148,24 @@ def incremental_index(
     batch via the streaming checkpoint; a compaction job (the normal
     batch build over the union) folds deltas into a new snapshot —
     mirroring the reference's daily-rebuild + incremental-update split.
-    Returns the StreamingQuery (caller awaits/stops)."""
+    Returns the StreamingQuery (caller awaits/stops).
+
+    Each delta row carries the document's length ``dl`` computed at
+    tokenize time as the number of position slots (overlap tokens at
+    posInc 0 — the code analyzer's catenated/original forms — are
+    discounted, exactly as the batch build does).  Compaction must NOT
+    re-derive dl as Σtf: that identity only holds for analyzers without
+    overlap tokens and silently inflates BM25 length norms for
+    camelCase/underscore identifiers under the default code analyzer."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         toks = tokenize(batch_df.select("doc_id", text_col), text_col, analyzer)
-        delta = flat_postings(toks, with_positions=False).withColumn(
-            "batch", F.lit(batch_id)
+        delta = (
+            flat_postings(toks, with_positions=False)
+            .join(doc_lengths(toks), "doc_id")
+            .withColumn("batch", F.lit(batch_id))
         )
         delta.write.mode("append").partitionBy("batch").parquet(out_dir)
 
@@ -193,24 +203,33 @@ def compact_deltas(spark: SparkSession, out_dir: str, shard_size: int | None = N
 
     Semantics: compact(incremental batches) ≡ batch build over the final
     corpus state (last write per doc wins) — tested for BM25 score
-    equality.  The deltas carry no positions, so the compacted index
-    answers term/boolean/BM25 but not phrase queries (documented
-    limitation of the delta format, not of compaction)."""
+    equality, including under the default code analyzer whose overlap
+    tokens (camelCase parts at posInc 0) make dl ≠ Σtf.  The deltas
+    carry no positions, so the compacted index answers term/boolean/BM25
+    but not phrase queries (documented limitation of the delta format,
+    not of compaction)."""
     from ..operators.build import (
         DEFAULT_SHARD_SIZE,
         BuiltIndex,
         build_shard_doclens,
         build_shards,
         corpus_stats,
+        doc_lengths_from_dl_column,
         doc_lengths_from_postings,
         term_stats,
     )
 
     shard_size = shard_size or DEFAULT_SHARD_SIZE
-    postings = read_postings_deltas(spark, out_dir).persist()
-    # dl = Σ tf is exact for the streaming path's analyzer (no overlap
-    # tokens in flat_postings deltas)
-    doclens = doc_lengths_from_postings(postings).persist()
+    with_dl = read_postings_deltas(spark, out_dir).persist()
+    if "dl" in with_dl.columns:
+        # overlap-correct dl carried from tokenize time (current format)
+        doclens = doc_lengths_from_dl_column(with_dl).persist()
+        postings = with_dl.drop("dl")
+    else:
+        # legacy dl-less deltas: Σtf is only valid for overlap-free
+        # analyzers (simple/simple_stem) — kept for old delta dirs
+        doclens = doc_lengths_from_postings(with_dl).persist()
+        postings = with_dl
     n_docs, avgdl = corpus_stats(doclens)
     return BuiltIndex(
         docstore=doclens.select("doc_id", "dl"),

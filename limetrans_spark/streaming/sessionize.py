@@ -32,17 +32,30 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# open-session state: (start_us, end_us, n_events, total_value)
+# open-session state: (start_us, end_us, n_events, total scaled to 1e-6)
+# — the total is an exact integer in micro-units so the accumulation is
+# order-independent and bit-equal to the batch twin's decimal(28,6) sum
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType()),
         T.StructField("end_us", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_scaled", T.LongType()),
     ]
 )
 
 _US = 1_000_000
+
+
+def _scale6(v: float) -> int:
+    """round-half-up(v · 10⁶) on the double's exact binary value — the
+    same rounding Spark's double→decimal(28,6) cast performs, so the
+    streaming accumulator and the batch decimal sum agree exactly."""
+    import decimal
+
+    return int(
+        decimal.Decimal(v).scaleb(6).quantize(decimal.Decimal(1), decimal.ROUND_HALF_UP)
+    )
 
 
 def _session_fn(gap_seconds: float, timeout_ms: int):
@@ -56,14 +69,14 @@ def _session_fn(gap_seconds: float, timeout_ms: int):
         user_id = key[0]
         closed: list[tuple] = []
 
-        def emit(start_us: int, end_us: int, n: int, total: float):
+        def emit(start_us: int, end_us: int, n: int, total_scaled: int):
             closed.append(
                 (
                     user_id,
                     dt.datetime.utcfromtimestamp(start_us / _US),
                     dt.datetime.utcfromtimestamp(end_us / _US),
                     n,
-                    float(total),
+                    total_scaled / 1e6,
                 )
             )
 
@@ -80,18 +93,18 @@ def _session_fn(gap_seconds: float, timeout_ms: int):
                 s, e, n, tot = state.get
             else:
                 s = e = int(ts_us[0])
-                n, tot = 0, 0.0
+                n, tot = 0, 0
             for t_us, v in zip(ts_us, vals):
                 t_us = int(t_us)
                 if n > 0 and t_us - e > gap_us:
                     emit(s, e, n, tot)
-                    s, n, tot = t_us, 0, 0.0
+                    s, n, tot = t_us, 0, 0
                 if n == 0:
                     s = t_us
                 e = t_us
                 n += 1
-                tot += float(v)
-            state.update((int(s), int(e), int(n), float(tot)))
+                tot += _scale6(float(v))
+            state.update((int(s), int(e), int(n), int(tot)))
             if timeout_ms:
                 state.setTimeoutDuration(timeout_ms)
         out = pd.DataFrame(
@@ -188,7 +201,13 @@ def sessionize_batch(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            # decimal accumulator: a plain double SUM's reduction order is
+            # partition-dependent and a session total on a .5 rounding
+            # boundary could flip vs the oracle (same discipline as
+            # salted_agg); cast back to double after the exact sum
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double"), 6
+            ).alias("total_value"),
         )
         .drop("_sn")
     )

@@ -239,3 +239,40 @@ def test_ivf_train_kmeans_deterministic_and_pure(spark):
     }
     top = ann.ivf_topk(labeled, qv, k=5, nprobe=1).collect()
     assert all(r["id"] % 4 == 1 for r in top)  # nearest cluster probed
+
+
+def test_dedup_releases_intermediate_caches(spark, docs, vecs):
+    """jaccard_pairs / embedding_lsh_pairs must not leak session-lifetime
+    storage blocks: intermediates are unpersisted internally, and after
+    the caller releases the returned (materialized) result, no persistent
+    RDDs remain beyond what existed before the call."""
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persisted_ids()
+    out = dedup.jaccard_pairs(docs, threshold=0.5, ngram=3)
+    out.collect()
+    out.unpersist(blocking=True)
+    assert persisted_ids() == before
+
+    out2 = dedup.embedding_lsh_pairs(vecs, threshold=0.3, n_planes=8, bands=4)
+    out2.collect()
+    out2.unpersist(blocking=True)
+    assert persisted_ids() == before
+
+
+def test_jaccard_shingle_auto_ceiling_and_exact_optin(spark):
+    """ngram mode defaults to a df-ceiling (auto = max(16, n//20));
+    max_token_df=None opts back into exact shingle Jaccard."""
+    rows = [(i, "common boiler plate " + ("x%d y%d z%d " % (i, i, i))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares the 'common boiler plate' shingle → df=30 > 16:
+    # auto mode prunes it, so no pair reaches any threshold
+    auto = dedup.jaccard_pairs(df, threshold=0.01, ngram=3)
+    assert auto.count() == 0
+    auto.unpersist()
+    # exact opt-in keeps the boilerplate shingle → all pairs share it
+    exact = dedup.jaccard_pairs(df, threshold=0.01, ngram=3, max_token_df=None)
+    assert exact.count() == 30 * 29 // 2
+    exact.unpersist()

@@ -346,3 +346,55 @@ def test_sessionize_batch_twin_matches_streaming(spark, tmp_path):
     # user 1: [10:00-10:10], [12:30], [15:00]; user 2: [09:00-09:05] → 4
     # sessions total; the two non-final user-1 sessions are closed
     assert len(allb) == 4 and len(streamed) == 2
+
+
+def test_compact_deltas_code_analyzer_overlap_dl(spark, tmp_path):
+    """Regression: the default code analyzer emits overlap tokens
+    (catenated/original at posInc 0) for camelCase/underscore
+    identifiers, so compacted dl must come from the carried dl column —
+    dl = Σtf would inflate length norms and break compact ≡ rebuild."""
+    from limetrans_spark.operators import query as Q
+    from limetrans_spark.operators.build import build_index
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [
+        {"doc_id": 0, "repo": "r", "path": "a", "commit": "c", "lang": "py",
+         "content": "parseJson fastPath parseJson mergeSort"},
+        {"doc_id": 1, "repo": "r", "path": "b", "commit": "c", "lang": "py",
+         "content": "hash_join slow_scan"},
+    ]
+    batch2 = [
+        {"doc_id": 1, "repo": "r", "path": "b", "commit": "c2", "lang": "py",
+         "content": "mergeSort hashJoin fast"},  # replaces doc 1
+        {"doc_id": 2, "repo": "r", "path": "c", "commit": "c", "lang": "py",
+         "content": "sortKey mergeSort hashJoin"},
+    ]
+    _write_jsonl(f"{landing}/h1.jsonl", batch1)
+    ingest.incremental_index(ingest.corpus_stream(spark, landing), out, ckpt).awaitTermination(120)
+    _write_jsonl(f"{landing}/h2.jsonl", batch2)
+    ingest.incremental_index(ingest.corpus_stream(spark, landing), out, ckpt).awaitTermination(120)
+
+    compacted = ingest.compact_deltas(spark, out, shard_size=64)
+
+    final_state = [batch1[0], batch2[0], batch2[1]]
+    fresh = build_index(
+        spark.createDataFrame(
+            [(r["doc_id"], r["content"]) for r in final_state], "doc_id long, content string"
+        ),
+        analyzer="code", shard_size=64, with_positions=False,
+    )
+    # the fixture is overlap-heavy by construction: dl ≠ Σtf everywhere
+    dl = {r["doc_id"]: r["dl"] for r in compacted.doclens.collect()}
+    sum_tf = {
+        r["doc_id"]: r["s"]
+        for r in compacted.postings.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()
+    }
+    assert all(dl[d] < sum_tf[d] for d in dl), (dl, sum_tf)
+    assert compacted.n_docs == fresh.n_docs
+    assert abs(compacted.avgdl - fresh.avgdl) < 1e-12
+    for q in ["merge sort", "merge | hash", "mergesort", "parse"]:
+        a = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(compacted, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(fresh, q, k=10).collect()]
+        assert a == b, q
