@@ -190,6 +190,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_fielded"] = ft_fielded
 
+    # TRUE positional fielded phrase on the DataFrame tier (order-aware,
+    # unlike an AND-within-field relaxation)
+    def ft_fielded_phrase(s, d):
+        from limetrans_spark.operators import fielded as FL
+
+        docs = _t(s, d, "documents")
+        fidx = FL.build_fielded_index(
+            docs, fields={"content": "text", "lang": "lang"}
+        )
+        out = FL.bm25_topk_fielded(fidx, 'content:"hash join"', k=1000)
+        return out.select("doc_id")
+
+    q["ft_fielded_phrase"] = ft_fielded_phrase
+
+    # per-field ANALYZER choice (the reference maps bib.namePersonal to
+    # the unstemmed analyzer while the catch-all stems): one source
+    # column indexed under two fields with different analyzers; the
+    # query term is analyzed per-field ('query' → stem 'queri')
+    def ft_fielded_analyzers(s, d):
+        from limetrans_spark.operators import fielded as FL
+
+        docs = _t(s, d, "documents")
+        fidx = FL.build_fielded_index(
+            docs,
+            fields={"content": ("text", "simple"), "stemmed": ("text", "simple_stem")},
+        )
+        out = FL.bm25_topk_fielded(fidx, "stemmed:query content:vector", k=1000)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["ft_fielded_analyzers"] = ft_fielded_analyzers
+
+    # flat stemmed-analyzer build surface: postings (term/doc/tf) + dl,
+    # where the index holds stem AND surface at one position
+    # (keyword_repeat shape) and dl counts surface slots only
+    def ft_stemmed(s, d):
+        from limetrans_spark.operators.build import (
+            doc_lengths,
+            flat_postings,
+            tokenize,
+        )
+
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        toks = tokenize(docs, "text", "simple_stem")
+        return (
+            flat_postings(toks, with_positions=False)
+            .join(doc_lengths(toks), "doc_id")
+            .select("term", "doc_id", "tf", "dl")
+        )
+
+    q["ft_stemmed"] = ft_stemmed
+
     # --- docstore (getDocument analogue) + sha256 invariant --------------
     q["docstore_sha256"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256")
@@ -556,6 +607,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _stem_map_values() -> str:
+    """``(term, stem)`` VALUES list covering the testdata vocabulary —
+    DuckDB has no offline Porter stemmer (the fts extension needs
+    network), so the oracle gets the stem function as data: the engine's
+    own ``porter_stem`` (the published 1980 algorithm, pinned by its own
+    published-vector pytest) applied to the corpus vocabulary, which the
+    generator keeps identical across scale factors.  Falls back to the
+    known 31-term vocabulary if the parquet is unreadable."""
+    from limetrans_spark.functions.stem import porter_stem
+
+    terms: set[str] = set()
+    try:
+        import duckdb as _dd
+
+        con = _dd.connect()
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            rows = con.execute(
+                "SELECT DISTINCT t.term FROM "
+                f"read_parquet('/root/testdata/{sf}/documents.parquet'), "
+                "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term) "
+                "WHERE t.term <> ''"
+            ).fetchall()
+            terms.update(r[0] for r in rows)
+        con.close()
+    except Exception:
+        pass
+    if not terms:
+        terms = {
+            "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+            "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+            "order", "part", "query", "row", "scan", "slow", "small", "sort",
+            "spark", "stream", "table", "the", "value", "vector", "window",
+        }
+    return ", ".join(f"('{t}', '{porter_stem(t)}')" for t in sorted(terms))
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -632,6 +719,75 @@ contrib AS (
   JOIN matched m ON m.doc_id = p.doc_id
 )
 SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id"""
+
+    # positional fielded phrase: the oracle is analyzer-independent — a
+    # regex over the raw source column (same strategy as ft_phrase)
+    o["ft_fielded_phrase"] = """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9]|$)')"""
+
+    _sm = _stem_map_values()
+    # per-field analyzers: 'content' = surface tokens, 'stemmed' adds the
+    # Porter stem as an overlap token at the same position when it
+    # differs (keyword_repeat), so tf counts both forms while dl counts
+    # surface slots only (discountOverlaps)
+    o["ft_fielded_analyzers"] = f"""
+WITH sm(term, stem) AS (VALUES {_sm}),
+stoks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+ftoks AS (
+  SELECT doc_id, 'content' AS field, term FROM stoks
+  UNION ALL
+  SELECT doc_id, 'stemmed', term FROM stoks
+  UNION ALL
+  SELECT doc_id, 'stemmed', sm.stem FROM stoks JOIN sm USING (term)
+  WHERE sm.stem <> sm.term
+),
+fpost AS (SELECT field, term, doc_id, COUNT(*)::INT AS tf FROM ftoks GROUP BY ALL),
+fdl AS (
+  SELECT doc_id, field, COUNT(*)::BIGINT AS dl FROM (
+    SELECT doc_id, 'content' AS field FROM stoks
+    UNION ALL SELECT doc_id, 'stemmed' FROM stoks
+  ) GROUP BY ALL
+),
+fstats AS (SELECT field, COUNT(*)::BIGINT AS dc, AVG(dl) AS avgdl FROM fdl GROUP BY field),
+fterm AS (SELECT field, term, COUNT(*)::BIGINT AS df FROM fpost GROUP BY ALL),
+q(field, term) AS (VALUES ('stemmed', 'queri'), ('content', 'vector')),
+matched AS (
+  SELECT doc_id FROM fpost JOIN q USING (field, term)
+  GROUP BY doc_id HAVING COUNT(*) = 2
+),
+contrib AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.dc::DOUBLE - t.df + 0.5) / (t.df + 0.5))
+         * p.tf::DOUBLE * 2.2
+         / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / s.avgdl)) AS c
+  FROM fpost p JOIN q USING (field, term)
+  JOIN fterm t USING (field, term)
+  JOIN fdl d ON d.doc_id = p.doc_id AND d.field = p.field
+  JOIN fstats s ON s.field = p.field
+  JOIN matched m ON m.doc_id = p.doc_id
+)
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id"""
+
+    o["ft_stemmed"] = f"""
+WITH sm(term, stem) AS (VALUES {_sm}),
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+emitted AS (
+  SELECT doc_id, term FROM toks
+  UNION ALL
+  SELECT doc_id, sm.stem FROM toks JOIN sm USING (term) WHERE sm.stem <> sm.term
+),
+postings AS (SELECT term, doc_id, COUNT(*)::INT AS tf FROM emitted GROUP BY ALL),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id)
+SELECT p.term, p.doc_id, p.tf, d.dl FROM postings p JOIN dl d USING (doc_id)"""
 
     o["docstore_sha256"] = (
         "SELECT doc_id, sha256(text) AS text_sha256 FROM documents"

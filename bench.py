@@ -51,6 +51,17 @@ WAND_SET = [
     ("q_wand_and", lambda idx: Q.bm25_topk_sharded(idx, "spark join", k=10, operator="and")),
 ]
 
+# the stable cross-round comparison set (present since round 1) — summed
+# into ``suite_shared_wall`` so round-over-round ratios don't require
+# manual set intersection when queries are added
+SHARED_QUERIES = [
+    "build", "q_and2", "q_and3", "q_or", "q_rare", "q_not", "q_phrase",
+    "q_prefix", "q_topk1000", "q_wand_or", "q_wand_and", "serve_load",
+    "q_serve_and", "q_serve_or", "q_serve_phrase", "dedup_exact",
+    "dedup_simhash", "ann_topk", "ann_ivf", "text_profile", "tpch_q1",
+    "tpch_q3", "events_hourly", "window_topn",
+]
+
 
 def timed(fn):
     t0 = time.time()
@@ -190,6 +201,9 @@ def main():
         "n_docs": n_docs,
         "build_docs_per_sec": round(n_docs / t_build, 1),
         "query_p50_ms": round(statistics.median(latencies) * 1000, 1),
+        "suite_shared_wall": round(
+            sum(queries[n] for n in SHARED_QUERIES if n in queries), 3
+        ),
     }
     print(json.dumps(result))
     shutil.rmtree(OUT_DIR, ignore_errors=True)

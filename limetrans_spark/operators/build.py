@@ -284,12 +284,15 @@ def doc_lengths_from_dl_column(postings_with_dl: DataFrame) -> DataFrame:
 
 
 def term_stats(postings: DataFrame) -> DataFrame:
-    """term → df (doc count), cf (collection tf), max_tf (WAND global bound)."""
+    """term → df (doc count), cf (collection tf), max_tf (WAND global
+    bound), tlen (term length — STORED so a fuzzy query's length band is
+    a plain pushed column predicate on the terms parquet instead of a
+    computed expression over every dictionary row)."""
     return postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
         F.max("tf").cast("int").alias("max_tf"),
-    )
+    ).withColumn("tlen", F.length("term").cast("int"))
 
 
 def skew_report(terms: DataFrame, n_docs: int, top: int = 20) -> list[dict]:

@@ -1,20 +1,27 @@
-"""Fielded (multi-field) search: per-field postings, copy_to derivation,
-``field:term`` query syntax, per-field BM25 statistics.
+"""Fielded (multi-field) search: per-field postings with per-field
+ANALYZERS, positional fielded phrases, copy_to derivation, ``field:term``
+query syntax, per-field BM25 statistics.
 
-The reference queries different fields with different semantics —
-``cql.allIndexes`` (the catch-all every analyzed field copies into) vs
-``bib.namePersonal`` (a specific source field); see the copy_to DAG in
+The reference queries different fields with different semantics AND
+different analyzers — ``cql.allIndexes`` (the catch-all every analyzed
+field copies into, default analyzer chain) vs ``bib.namePersonal``
+(a specific source field mapped to the *unstemmed* analyzer); see the
+copy_to DAG and per-field analyzer choices in
 ``main/src/main/resources/elasticsearch/hbztitle-mapping-v8.json:33-37,
-3070-3082`` and the fielded queries in
+3070-3082`` (analyzers at ``hbztitle-settings-v8.json:124-179``) and the
+fielded queries in
 ``main/src/test/java/hbz/limetrans/ElasticsearchQueryTest.java:57-61``.
 
 Spark shape: ONE postings relation with a leading ``field`` column —
-``(field, term, doc_id, tf)`` — so every per-field statistic (df, dl,
-avgdl, docCount) is a groupBy away and a fielded query is a conjunction
-of filters on ``(field, term)`` pairs over the same scan.  Scoring is
-true per-field BM25 (each field is its own scoring space, as in
-Lucene): idf from the field's df and docCount, length norm from the
-field's dl/avgdl.
+``(field, term, doc_id, tf, positions)`` — so every per-field statistic
+(df, dl, avgdl, docCount) is a groupBy away and a fielded query is a
+conjunction of filters on ``(field, term)`` pairs over the same scan.
+Scoring is true per-field BM25 (each field is its own scoring space, as
+in Lucene): idf from the field's df and docCount, length norm from the
+field's dl/avgdl.  Document length is the number of distinct position
+slots, so overlap tokens (a stemmed field indexes the stem AND the
+surface form at one position — Lucene ``keyword_repeat`` +
+``discountOverlaps``) never inflate the length norm.
 
 ``copy_to`` unions the source fields' token streams into the target
 field with a large per-source position gap (the position_increment_gap
@@ -28,6 +35,12 @@ compressed doc-sharded indexes (:func:`build_fielded_sharded` +
 single-field machinery (SPIMI build, delta+varint blocks, block-max
 WAND), so single-field ranked queries go straight to
 ``bm25_topk_sharded`` on that field's index at 100 TB scale.
+
+Unknown fields are LENIENT on every tier (the clause matches nothing,
+as Elasticsearch treats an unmapped field) — a typo'd field name never
+crashes one tier while succeeding on another.  Misconfigured *builds*
+(a copy_to source that is not a declared field) raise a ValueError
+naming the field.
 """
 
 from __future__ import annotations
@@ -39,68 +52,136 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analysis import simple_tokens
-from .query import MAX_HITS, Clause, ParsedQuery, bm25_idf, parse_query
-from .build import BM25_B, BM25_K1
+from ..functions.analysis import simple_tokenize_py, stemmed_query_tokenize_py
+from .build import BM25_B, BM25_K1, tokenize
+from .query import (
+    MAX_HITS,
+    MAX_PREFIX_EXPANSIONS,
+    Clause,
+    ParsedQuery,
+    bm25_idf,
+    parse_query,
+)
 
 COPY_GAP = 1_000_000  # position gap between copy_to sources
+
+# query-side analyzers by name; the build side accepts anything
+# operators.build.tokenize knows, but a field can only be *queried*
+# through an analyzer with a query-side twin
+_QUERY_ANALYZERS = {
+    "simple": simple_tokenize_py,
+    "simple_stem": stemmed_query_tokenize_py,
+}
+
+
+def _norm_fields(fields: dict) -> dict[str, tuple[str, str]]:
+    """``{field: "col"}`` or ``{field: ("col", "analyzer")}`` →
+    ``{field: (col, analyzer)}`` (default analyzer ``simple``)."""
+    out: dict[str, tuple[str, str]] = {}
+    for fname, spec in fields.items():
+        if isinstance(spec, str):
+            out[fname] = (spec, "simple")
+        else:
+            col, analyzer = spec
+            out[fname] = (col, analyzer)
+    return out
+
+
+def _check_copy_sources(copy_to: dict, norm: dict) -> None:
+    for src_field in copy_to:
+        if src_field not in norm:
+            raise ValueError(
+                f"copy_to source {src_field!r} is not a declared field "
+                f"(declared: {sorted(norm)})"
+            )
 
 
 @dataclass
 class FieldedIndex:
-    postings: DataFrame  # (field, term, doc_id, tf)
+    postings: DataFrame  # (field, term, doc_id, tf[, positions])
     terms: DataFrame  # (field, term, df)
     doclens: DataFrame  # (doc_id, field, dl)
     stats: dict[str, tuple[int, float]]  # field -> (doc_count, avgdl)
     docstore: DataFrame
     fields: tuple[str, ...]
+    analyzers: dict[str, str] = dc_field(default_factory=dict)
+    with_positions: bool = True
     uid: int = dc_field(default_factory=itertools.count().__next__)
 
 
-def _field_tokens(df: DataFrame, field_name: str, src_col: str, id_col: str) -> DataFrame:
-    """(doc_id, field, term, pos) for one source column (simple analyzer:
-    lowercase alnum runs — the oracle-expressible tokenization)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(field_name).alias("field"),
-        F.posexplode(simple_tokens(F.col(src_col))).alias("pos", "term"),
+def _field_tokens(
+    df: DataFrame, field_name: str, src_col: str, id_col: str, analyzer: str = "simple"
+) -> DataFrame:
+    """(doc_id, field, term, pos) for one source column, analyzed with the
+    field's analyzer (reuses :func:`operators.build.tokenize`, so a
+    stemmed field emits surface + stem at one position)."""
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(src_col).alias("__text"))
+    toks = tokenize(docs, "__text", analyzer)
+    return toks.select(
+        "doc_id", F.lit(field_name).alias("field"), "term", F.col("pos").cast("int")
     )
 
 
 def build_fielded_index(
     df: DataFrame,
-    fields: dict[str, str],
+    fields: dict,
     copy_to: dict[str, list[str]] | None = None,
     id_col: str = "doc_id",
+    with_positions: bool = True,
+    target_analyzers: dict[str, str] | None = None,
 ) -> FieldedIndex:
     """Build per-field postings from ``fields`` (field name → source
-    column) plus ``copy_to`` (source field → catch-all target fields).
+    column, or → ``(source column, analyzer)``) plus ``copy_to`` (source
+    field → catch-all target fields).
 
     One exploded token relation carries every field; all downstream
     aggregations are single shuffles keyed by (field, term[, doc]) —
     uniform keys, partial aggregation, no skew pivot.  The copy_to
-    streams are derived from the same scan (no re-read of the source).
+    streams are derived from the same scan (no re-read of the source);
+    a copy target re-analyzes the source *column* with the TARGET's
+    analyzer (``target_analyzers``, default ``simple``) — exactly
+    Elasticsearch ``copy_to`` semantics, where the raw value is copied
+    and the destination field's own analyzer applies.
+
+    ``with_positions=True`` (default) materializes per-posting sorted
+    position arrays, enabling TRUE positional fielded phrases on this
+    tier and the serving tier.
     """
     copy_to = copy_to or {}
+    target_analyzers = target_analyzers or {}
+    norm = _norm_fields(fields)
+    _check_copy_sources(copy_to, norm)
+
     streams = []
-    for fname, src in fields.items():
-        streams.append(_field_tokens(df, fname, src, id_col))
-    # copy_to: re-emit each source field's tokens under the target field,
-    # offsetting positions per source so phrases can't straddle sources
+    analyzers: dict[str, str] = {}
+    for fname, (src, analyzer) in norm.items():
+        analyzers[fname] = analyzer
+        streams.append(_field_tokens(df, fname, src, id_col, analyzer))
+    # copy_to: re-emit each source column's tokens under the target field
+    # (analyzed with the target's analyzer), offsetting positions per
+    # source so phrases can't straddle sources
     for i, (src_field, targets) in enumerate(sorted(copy_to.items())):
-        src_col = fields[src_field]
+        src_col = norm[src_field][0]
         for tgt in targets:
-            t = _field_tokens(df, tgt, src_col, id_col)
-            streams.append(t.withColumn("pos", F.col("pos") + F.lit(i * COPY_GAP)))
+            t_an = target_analyzers.get(tgt, "simple")
+            analyzers.setdefault(tgt, t_an)
+            t = _field_tokens(df, tgt, src_col, id_col, t_an)
+            streams.append(t.withColumn("pos", (F.col("pos") + F.lit(i * COPY_GAP)).cast("int")))
     toks = streams[0]
     for s in streams[1:]:
         toks = toks.unionByName(s)
 
-    postings = toks.groupBy("field", "term", "doc_id").agg(
-        F.count("*").cast("int").alias("tf")
-    )
+    aggs = [F.count("*").cast("int").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    postings = toks.groupBy("field", "term", "doc_id").agg(*aggs)
     terms = postings.groupBy("field", "term").agg(F.count("*").cast("long").alias("df"))
-    doclens = toks.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    # dl = #distinct position slots: equals the token count for overlap-
+    # free analyzers and discounts stem/catenated overlap tokens
+    # (Lucene discountOverlaps) for the others
+    doclens = toks.groupBy("doc_id", "field").agg(
+        F.count_distinct("pos").cast("long").alias("dl")
+    )
     # exact integer sum → one Python division: float avg() is reduction-
     # order-dependent and would break bit-identical ranks across
     # partitionings (dl is integral, so the sum is exact in int64)
@@ -121,6 +202,8 @@ def build_fielded_index(
         stats=stats,
         docstore=df.select(F.col(id_col).alias("doc_id")),
         fields=all_fields,
+        analyzers=analyzers,
+        with_positions=with_positions,
     )
 
 
@@ -131,11 +214,17 @@ def build_fielded_index(
 _FIELD_PREFIX = re.compile(r"^(-?)([A-Za-z_][\w.]*):(.+)$", re.S)
 
 
-def parse_fielded_query(q: str, default_field: str) -> ParsedQuery:
+def parse_fielded_query(
+    q: str, default_field: str, analyzers: dict[str, str] | None = None
+) -> ParsedQuery:
     """``field:term`` / ``field:"a b"`` / bare terms (→ default field),
     with the same AND/OR/NOT structure as :func:`query.parse_query`.
-    Each clause carries its field in ``Clause.field_name``."""
-    # tag each whitespace token with its field, then reuse the base parser
+    Each clause carries its field in ``Clause.field_name`` and is
+    analyzed with its FIELD's analyzer (``analyzers``: field → analyzer
+    name; a ``simple_stem`` field stems the query terms, everything else
+    uses the simple tokenizer — the per-field query-time analysis
+    Elasticsearch performs from the mapping)."""
+    analyzers = analyzers or {}
     out = ParsedQuery()
     pending_or = False
     token_re = re.compile(r"-?(?:[A-Za-z_][\w.]*:)?\"[^\"]*\"|\||\S+")
@@ -149,7 +238,14 @@ def parse_fielded_query(q: str, default_field: str) -> ParsedQuery:
         if fm and not tok.startswith('"'):
             tok = fm.group(1) + fm.group(3)
             fname = fm.group(2)
-        sub = parse_query(tok)
+        an_name = analyzers.get(fname, "simple")
+        analyze = _QUERY_ANALYZERS.get(an_name)
+        if analyze is None:
+            raise ValueError(
+                f"field {fname!r} is indexed with analyzer {an_name!r}, which has "
+                f"no query-side twin (supported: {sorted(_QUERY_ANALYZERS)})"
+            )
+        sub = parse_query(tok, analyze=analyze)
         if not sub.groups:
             continue
         clause = sub.groups[0][0]
@@ -166,20 +262,88 @@ def _clause_field(c: Clause, default_field: str) -> str:
     return getattr(c, "field_name", None) or default_field
 
 
+# --------------------------------------------------------------------------
+# DataFrame tier
+# --------------------------------------------------------------------------
+
+
+def _expand_prefix_fielded(index: FieldedIndex, fname: str, stem: str) -> list[str]:
+    """Top-``MAX_PREFIX_EXPANSIONS`` dictionary terms of one field by
+    (df desc, term) — the same expansion policy as the flat engine, so
+    the three tiers expand identically."""
+    rows = (
+        index.terms.filter((F.col("field") == fname) & F.col("term").startswith(stem))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(MAX_PREFIX_EXPANSIONS)
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def _expand_fuzzy_fielded(index: FieldedIndex, fname: str, term: str, fuzz: int) -> list[str]:
+    n = len(term)
+    rows = (
+        index.terms.filter(
+            (F.col("field") == fname)
+            & F.length("term").between(n - fuzz, n + fuzz)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= fuzz)
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(MAX_PREFIX_EXPANSIONS)
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def _phrase_docs_fielded(p: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """True positional phrase inside one field: iterative position-
+    intersection joins over the materialized ``positions`` arrays —
+    entirely JVM-side (array_intersect / transform), one equi-join on
+    doc_id per phrase term.  COPY_GAP offsets make cross-source phrases
+    unsatisfiable in copy_to targets by construction."""
+    cur = p.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("ends")
+    )
+    for t in terms[1:]:
+        nxt = p.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("pos")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("ends", lambda x: x + 1), F.col("pos")
+                ).alias("ends"),
+            )
+            .filter(F.size("ends") > 0)
+        )
+    return cur.select("doc_id").distinct()
+
+
+def _fielded_expansions(index: FieldedIndex, c: Clause, fname: str) -> list[str] | None:
+    if c.kind == "prefix":
+        return _expand_prefix_fielded(index, fname, c.terms[0])
+    if c.kind == "fuzzy":
+        return _expand_fuzzy_fielded(index, fname, c.terms[0], c.fuzz)
+    return None
+
+
 def _clause_docs(index: FieldedIndex, c: Clause, fname: str) -> DataFrame:
     p = index.postings.filter(F.col("field") == fname)
     if c.kind == "term":
         return p.filter(F.col("term") == c.terms[0]).select("doc_id")
-    if c.kind == "prefix":
-        return p.filter(F.col("term").startswith(c.terms[0])).select("doc_id").distinct()
+    if c.kind in ("prefix", "fuzzy"):
+        expanded = _fielded_expansions(index, c, fname)
+        if not expanded:
+            return p.sparkSession.createDataFrame([], "doc_id long")
+        return p.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
     if c.kind == "phrase":
-        # positions are not materialized in the fielded postings; AND of
-        # the phrase terms within the field is the documented relaxation
-        out = None
-        for t in c.terms:
-            d = p.filter(F.col("term") == t).select("doc_id")
-            out = d if out is None else out.join(d, "doc_id", "left_semi")
-        return out
+        if not index.with_positions:
+            raise ValueError(
+                "fielded phrase queries require an index built with_positions=True"
+            )
+        return _phrase_docs_fielded(p, c.terms)
     raise ValueError(f"fielded path does not support clause kind {c.kind!r}")
 
 
@@ -192,15 +356,20 @@ def bm25_topk_fielded(
     """Fielded boolean + BM25 top-k (DataFrame path, fully Catalyst).
 
     Boolean semantics match the default path (whitespace = AND, ``|`` =
-    OR, ``-`` = NOT), with each clause scoped to its field.  Scores sum
-    per-clause BM25 contributions, each computed in its clause's field
-    scoring space; float sums run in sorted (field, term) order so ranks
-    are parallelism-invariant, same discipline as the flat engine.
+    OR, ``-`` = NOT), with each clause scoped to its field, analyzed by
+    its field's analyzer, phrases matched POSITIONALLY, and prefix/fuzzy
+    clauses expanded against the field's dictionary (top-128 by df, the
+    flat engine's policy) — expansions are scored, exactly as the flat
+    path scores them.  Scores sum per-clause BM25 contributions, each
+    computed in its clause's field scoring space; float sums run in
+    sorted (field, term) order so ranks are parallelism-invariant, same
+    discipline as the flat engine.  Unknown fields are lenient: the
+    clause matches nothing.
     """
     pq = (
         query
         if isinstance(query, ParsedQuery)
-        else parse_fielded_query(query, default_field)
+        else parse_fielded_query(query, default_field, index.analyzers)
     )
     k = min(k, MAX_HITS)
     spark = index.postings.sparkSession
@@ -216,16 +385,8 @@ def bm25_topk_fielded(
             if c.negated:
                 negatives.append(_clause_docs(index, c, fname))
                 continue
-            if c.kind == "prefix":
-                expd = [
-                    r["term"]
-                    for r in index.terms.filter(
-                        (F.col("field") == fname)
-                        & F.col("term").startswith(c.terms[0])
-                    )
-                    .select("term")
-                    .collect()
-                ]
+            expd = _fielded_expansions(index, c, fname)
+            if expd is not None:
                 score_pairs.update((fname, t) for t in expd)
             else:
                 score_pairs.update((fname, t) for t in c.terms)
@@ -261,6 +422,13 @@ def bm25_topk_fielded(
         for fname, t in pairs
         if fname in index.stats
     ]
+    if not idf_rows:  # every scored field unknown → all scores zero
+        return (
+            cur.withColumn("score", F.lit(0.0))
+            .orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", "score")
+        )
     idf_tbl = F.broadcast(
         spark.createDataFrame(
             idf_rows, "field string, term string, idf double, avgdl double"
@@ -297,28 +465,43 @@ class LocalFieldedSearcher:
     ``serve.LocalSearcher`` for the flat index: load the per-field
     postings + doclens + stats once (driver-side collect; a production
     replica loads its slice from the snapshot parquet) and answer
-    ``field:term`` boolean/BM25 queries in pure Python/NumPy at
-    interactive latency, rank-identical to :func:`bm25_topk_fielded`
-    (same idf source, same sorted-(field,term) float64 summation, same
-    doc_id tie-break)."""
+    ``field:term`` boolean/BM25/phrase/prefix/fuzzy queries in pure
+    Python/NumPy at interactive latency, rank-identical to
+    :func:`bm25_topk_fielded` (same idf source, same expansion policy,
+    same sorted-(field,term) float64 summation, same doc_id tie-break).
 
-    def __init__(self, postings_rows, doclens_rows, stats, all_docs, fields):
+    Prefix expansion bisects each field's sorted term list (O(log V));
+    fuzzy scans only the field's terms within the length band."""
+
+    def __init__(
+        self, postings_rows, doclens_rows, stats, all_docs, fields, analyzers=None
+    ):
         import numpy as np
 
         self.stats = stats
         self.fields = fields
+        self.analyzers = dict(analyzers or {})
         self._plists: dict[tuple[str, str], tuple] = {}
-        by_key: dict[tuple[str, str], list[tuple[int, int]]] = {}
+        by_key: dict[tuple[str, str], list[tuple[int, int, list | None]]] = {}
         for r in postings_rows:
+            pos = r["positions"] if "positions" in r.__fields__ else None
             by_key.setdefault((r["field"], r["term"]), []).append(
-                (int(r["doc_id"]), int(r["tf"]))
+                (int(r["doc_id"]), int(r["tf"]), pos)
             )
-        for key, pairs in by_key.items():
-            pairs.sort()
+        for key, triples in by_key.items():
+            triples.sort(key=lambda t: t[0])
             self._plists[key] = (
-                np.asarray([d for d, _ in pairs], dtype=np.int64),
-                np.asarray([t for _, t in pairs], dtype=np.float64),
+                np.asarray([d for d, _, _ in triples], dtype=np.int64),
+                np.asarray([t for _, t, _ in triples], dtype=np.float64),
+                [
+                    None if p is None else np.asarray(p, dtype=np.int64)
+                    for _, _, p in triples
+                ],
             )
+        # per-field sorted term dictionary for bisect prefix / banded fuzzy
+        self._terms_by_field: dict[str, list[str]] = {}
+        for f, t in sorted(self._plists):
+            self._terms_by_field.setdefault(f, []).append(t)
         self._dl: dict[tuple[int, str], float] = {
             (int(r["doc_id"]), r["field"]): float(r["dl"]) for r in doclens_rows
         }
@@ -332,25 +515,76 @@ class LocalFieldedSearcher:
             fidx.stats,
             [int(r["doc_id"]) for r in fidx.docstore.collect()],
             fidx.fields,
+            analyzers=fidx.analyzers,
         )
 
-    def _clause_docset(self, c: Clause, fname: str) -> set[int]:
+    # -- expansion ----------------------------------------------------------
+
+    def _expand(self, c: Clause, fname: str) -> list[str]:
+        """Same policy as the DataFrame tier: top-128 by (df desc, term)."""
+        import bisect
+
+        vocab = self._terms_by_field.get(fname, [])
+        if c.kind == "prefix":
+            stem = c.terms[0]
+            lo = bisect.bisect_left(vocab, stem)
+            hi = bisect.bisect_left(vocab, stem + "￿")
+            hits = vocab[lo:hi]
+        else:
+            from .serve import _edit_le
+
+            stem, fz = c.terms[0], c.fuzz
+            hits = [
+                t
+                for t in vocab
+                if abs(len(t) - len(stem)) <= fz and _edit_le(stem, t, fz)
+            ]
+        hits.sort(key=lambda t: (-int(self._plists[(fname, t)][0].size), t))
+        return sorted(hits[:MAX_PREFIX_EXPANSIONS])
+
+    # -- matching -----------------------------------------------------------
+
+    def _phrase_docset(self, fname: str, terms: tuple[str, ...]) -> set[int]:
+        import numpy as np
+
+        pls = [self._plists.get((fname, t)) for t in terms]
+        if any(p is None for p in pls):
+            return set()
+        if any(x is None for p in pls for x in p[2]):
+            raise ValueError(
+                "fielded phrase queries require an index built with_positions=True"
+            )
+        cand = pls[0][0]
+        for p in pls[1:]:
+            cand = np.intersect1d(cand, p[0], assume_unique=True)
+        out: set[int] = set()
+        for doc in cand:
+            ends = None
+            ok = True
+            for p in pls:
+                j = int(np.searchsorted(p[0], doc))
+                pos = p[2][j]
+                ends = pos if ends is None else np.intersect1d(ends + 1, pos)
+                if ends.size == 0:
+                    ok = False
+                    break
+            if ok:
+                out.add(int(doc))
+        return out
+
+    def _clause_docset(self, c: Clause, fname: str, expansions: dict) -> set[int]:
         if c.kind == "term":
             pl = self._plists.get((fname, c.terms[0]))
             return set(pl[0].tolist()) if pl else set()
-        if c.kind == "prefix":
+        if c.kind in ("prefix", "fuzzy"):
             out: set[int] = set()
-            for (f, t), pl in self._plists.items():
-                if f == fname and t.startswith(c.terms[0]):
+            for t in expansions.get((fname, c.kind, c.terms, c.fuzz), []):
+                pl = self._plists.get((fname, t))
+                if pl is not None:
                     out.update(pl[0].tolist())
             return out
-        if c.kind == "phrase":  # AND-within-field relaxation (as the DF path)
-            cur: set[int] | None = None
-            for t in c.terms:
-                pl = self._plists.get((fname, t))
-                s = set(pl[0].tolist()) if pl else set()
-                cur = s if cur is None else (cur & s)
-            return cur or set()
+        if c.kind == "phrase":
+            return self._phrase_docset(fname, c.terms)
         raise ValueError(f"fielded serving does not support clause kind {c.kind!r}")
 
     def search(
@@ -359,9 +593,10 @@ class LocalFieldedSearcher:
         pq = (
             query
             if isinstance(query, ParsedQuery)
-            else parse_fielded_query(query, default_field)
+            else parse_fielded_query(query, default_field, self.analyzers)
         )
         k = min(k, MAX_HITS)
+        expansions: dict[tuple, list[str]] = {}
         cur: set[int] | None = None
         negs: list[set[int]] = []
         score_pairs: set[tuple[str, str]] = set()
@@ -369,18 +604,21 @@ class LocalFieldedSearcher:
             gdocs: set[int] | None = None
             for c in group:
                 fname = _clause_field(c, default_field)
+                if c.kind in ("prefix", "fuzzy"):
+                    key = (fname, c.kind, c.terms, c.fuzz)
+                    if key not in expansions:
+                        expansions[key] = self._expand(c, fname)
                 if c.negated:
-                    negs.append(self._clause_docset(c, fname))
+                    negs.append(self._clause_docset(c, fname, expansions))
                     continue
-                if c.kind == "prefix":
+                if c.kind in ("prefix", "fuzzy"):
                     score_pairs.update(
-                        (f, t)
-                        for (f, t) in self._plists
-                        if f == fname and t.startswith(c.terms[0])
+                        (fname, t)
+                        for t in expansions[(fname, c.kind, c.terms, c.fuzz)]
                     )
                 else:
                     score_pairs.update((fname, t) for t in c.terms)
-                d = self._clause_docset(c, fname)
+                d = self._clause_docset(c, fname, expansions)
                 gdocs = d if gdocs is None else (gdocs | d)
             if gdocs is not None:
                 cur = gdocs if cur is None else (cur & gdocs)
@@ -414,19 +652,22 @@ class LocalFieldedSearcher:
 
 def build_fielded_sharded(
     df: DataFrame,
-    fields: dict[str, str],
+    fields: dict,
     copy_to: dict[str, list[str]] | None = None,
     id_col: str = "doc_id",
     shard_size: int = 1 << 17,
+    target_analyzers: dict[str, str] | None = None,
 ):
     """Per-field compressed doc-sharded indexes over a SHARED doc_id
-    space → ``{field: BuiltIndex}``.
+    space → ``{field: BuiltIndex}``, each built with its field's
+    analyzer (``fields`` values may be ``(col, analyzer)``).
 
     Each field is its own scoring space (how Lucene models fields), so
     each gets the full single-field machinery — SPIMI build, delta+varint
     blocks, block-max WAND, LocalSearcher — unchanged and with all its
     invariants.  copy_to targets index the space-joined concatenation of
-    their sources (dl and term stats match the union of the source
+    their sources under the target's analyzer (``target_analyzers``,
+    default ``simple``; dl and term stats match the union of the source
     streams; phrases can straddle a source boundary here, unlike the
     position-gapped DataFrame tier — the one documented deviation).
     Single-field ranked queries route straight to that field's
@@ -436,16 +677,23 @@ def build_fielded_sharded(
     from .build import build_index
 
     copy_to = copy_to or {}
-    sources: dict[str, list[str]] = {f: [src] for f, src in fields.items()}
+    target_analyzers = target_analyzers or {}
+    norm = _norm_fields(fields)
+    _check_copy_sources(copy_to, norm)
+    sources: dict[str, tuple[list[str], str]] = {
+        f: ([src], analyzer) for f, (src, analyzer) in norm.items()
+    }
     for src_field, targets in sorted(copy_to.items()):
         for tgt in targets:
-            sources.setdefault(tgt, []).append(fields[src_field])
+            if tgt not in sources:
+                sources[tgt] = ([], target_analyzers.get(tgt, "simple"))
+            sources[tgt][0].append(norm[src_field][0])
     out = {}
-    for fname, cols in sources.items():
+    for fname, (cols, analyzer) in sources.items():
         text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
         docs = df.select(F.col(id_col).alias("doc_id"), text.alias("content"))
         out[fname] = build_index(
-            docs, text_col="content", analyzer="simple", shard_size=shard_size
+            docs, text_col="content", analyzer=analyzer, shard_size=shard_size
         )
     return out
 
@@ -458,21 +706,34 @@ def bm25_topk_fielded_sharded(
 ) -> DataFrame:
     """Fielded boolean + BM25 top-k over per-field sharded indexes,
     rank-identical to :func:`bm25_topk_fielded` by construction (same
-    per-field stats, same Python idf, same sorted-(field,term) float
-    summation, same tie-break) — tested for equality.
+    per-field stats, same Python idf, same expansion policy, same
+    sorted-(field,term) float summation, same tie-break) — tested for
+    equality.
 
     Boolean membership per clause comes from the clause's field index
-    (term-pruned scans); scoring unions the per-field contribution
-    relations and sums in sorted (field, term) order.
+    (term-pruned scans); prefix AND fuzzy clauses score their expansion
+    set (like the flat path); unknown fields are lenient (empty doc
+    set).  Scoring unions the per-field contribution relations and sums
+    in sorted (field, term) order.
     """
-    from .query import _clause_docs_df, _expand_prefix, _idf_table, matching_docs_df
+    from .query import _clause_docs_df, _expand_fuzzy, _expand_prefix, _idf_table
 
+    if not indexes:
+        raise ValueError("no field indexes")
+    any_idx = next(iter(indexes.values()))
+    spark = any_idx.postings.sparkSession
+    analyzers = {
+        f: idx.metrics.get("analyzer", "simple") for f, idx in indexes.items()
+    }
     pq = (
         query
         if isinstance(query, ParsedQuery)
-        else parse_fielded_query(query, default_field)
+        else parse_fielded_query(query, default_field, analyzers)
     )
     k = min(k, MAX_HITS)
+
+    def empty_docs():
+        return spark.createDataFrame([], "doc_id long")
 
     # boolean match set: AND of OR-groups, minus negations, per field
     cur: DataFrame | None = None
@@ -482,13 +743,21 @@ def bm25_topk_fielded_sharded(
         gdocs = None
         for c in group:
             fname = _clause_field(c, default_field)
-            idx = indexes[fname]
+            idx = indexes.get(fname)
+            if idx is None:  # unknown field: clause matches nothing
+                if not c.negated and gdocs is None:
+                    gdocs = empty_docs()
+                continue
             if c.negated:
                 negatives.append(_clause_docs_df(idx, c))
                 continue
             if c.kind == "prefix":
                 score_terms.setdefault(fname, set()).update(
                     _expand_prefix(idx, c.terms[0])
+                )
+            elif c.kind == "fuzzy":
+                score_terms.setdefault(fname, set()).update(
+                    _expand_fuzzy(idx, c.terms[0], c.fuzz)
                 )
             else:
                 score_terms.setdefault(fname, set()).update(c.terms)
@@ -497,7 +766,6 @@ def bm25_topk_fielded_sharded(
         if gdocs is not None:
             cur = gdocs if cur is None else cur.join(gdocs, "doc_id", "left_semi")
     if cur is None:
-        any_idx = next(iter(indexes.values()))
         cur = any_idx.docstore.select("doc_id")
     for nd in negatives:
         cur = cur.join(nd, "doc_id", "left_anti")

@@ -255,11 +255,16 @@ def _expand_prefix(index: BuiltIndex, stem: str) -> list[str]:
 
 def _expand_fuzzy(index: BuiltIndex, term: str, fuzz: int) -> list[str]:
     """Fuzzy expansion against the term dictionary: edit distance ≤ fuzz
-    (simple_query_string FUZZY flag).  Length pre-filter prunes the
-    dictionary scan before the levenshtein evaluation."""
+    (simple_query_string FUZZY flag).  The length pre-filter uses the
+    STORED ``tlen`` column when present (build-time materialized →
+    pushable to the parquet scan's row-group stats) and only falls back
+    to a computed length for legacy dictionaries."""
     n = len(term)
+    len_col = (
+        F.col("tlen") if "tlen" in index.terms.columns else F.length("term")
+    )
     rows = (
-        index.terms.filter(F.length("term").between(n - fuzz, n + fuzz))
+        index.terms.filter(len_col.between(n - fuzz, n + fuzz))
         .filter(F.levenshtein(F.col("term"), F.lit(term)) <= fuzz)
         .select("term")
         .orderBy(F.col("df").desc(), "term")

@@ -56,6 +56,7 @@ class LocalSearcher:
         self.shard_size = shard_size
         self.term_df = term_df
         self._vocab = sorted(term_df)
+        self._vocab_by_len: dict[int, list[str]] | None = None  # lazy, fuzzy only
         # raw compressed rows per (shard, term); decoded lazily + cached
         self._raw: dict[tuple[int, str], dict] = {}
         self._shards: set[int] = set()
@@ -111,15 +112,28 @@ class LocalSearcher:
         return out
 
     def _expand(self, clause: Clause) -> list[str]:
+        """Prefix: bisect the sorted vocab → O(log V + matches), not a
+        linear scan.  Fuzzy: scan only the length buckets within the
+        edit-distance band (built lazily on first fuzzy query)."""
+        import bisect
+
         if clause.kind == "prefix":
             stem = clause.terms[0]
-            hits = [t for t in self._vocab if t.startswith(stem)]
+            lo = bisect.bisect_left(self._vocab, stem)
+            hi = bisect.bisect_left(self._vocab, stem + "￿")
+            hits = self._vocab[lo:hi]
         else:
             stem, fz = clause.terms[0], clause.fuzz
+            if self._vocab_by_len is None:
+                by_len: dict[int, list[str]] = {}
+                for t in self._vocab:
+                    by_len.setdefault(len(t), []).append(t)
+                self._vocab_by_len = by_len
             hits = [
                 t
-                for t in self._vocab
-                if abs(len(t) - len(stem)) <= fz and _edit_le(stem, t, fz)
+                for ln in range(max(1, len(stem) - fz), len(stem) + fz + 1)
+                for t in self._vocab_by_len.get(ln, ())
+                if _edit_le(stem, t, fz)
             ]
         hits.sort(key=lambda t: (-self.term_df[t], t))
         return sorted(hits[:MAX_EXPANSIONS])

@@ -84,10 +84,16 @@ class FileQueue:
             from .marc import read_marc21
 
             return read_marc21(spark, files)
-        if self.processor in ("marcxml", "almaxml"):
+        if self.processor == "marcxml":
             from .marc import read_marcxml
 
             return read_marcxml(spark, files)
+        if self.processor == "almaxml":
+            # tar-of-XML unpack (TarReader → XmlDecoder analogue); also
+            # accepts plain .xml[.gz] — routed by magic bytes
+            from .marc import read_almaxml
+
+            return read_almaxml(spark, files)
         raise ValueError(f"unknown processor {self.processor}")
 
 

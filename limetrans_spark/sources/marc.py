@@ -212,3 +212,65 @@ def read_marcxml(spark: SparkSession, paths) -> DataFrame:
         .select("_source_file", F.explode(parse(F.col("value"))).alias("r"))
         .select("_source_file", "r.record_id", "r.leader", "r.fields")
     )
+
+
+def read_almaxml(spark: SparkSession, paths) -> DataFrame:
+    """ALMAXML processor — the reference unpacks a tar of XML member
+    files and feeds each to the XML decoder
+    (``core/src/main/java/hbz/limetrans/util/FileQueue.java:42-50``:
+    ``TarReader`` → ``XmlDecoder``).  Spark shape: a ``binaryFile`` scan
+    (one task per archive — archives parallelize across the fleet, tar
+    itself is inherently sequential per file) → Arrow-batched tar/gzip
+    unpack → one row per member → the shared MARCXML record parser.
+
+    Containers are routed by MAGIC BYTES, not extension: gzip (incl.
+    BGZF = concatenated gzip members) is decompressed first; a tar
+    payload iterates its members; anything else is treated as one plain
+    XML document — so plain ``.xml``/``.xml.gz`` exports read through
+    the same processor.
+    """
+    import gzip
+    import io
+    import tarfile
+    from typing import Iterator
+
+    bin_df = spark.read.format("binaryFile").load(paths)
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs: list[str] = []
+            members: list[str] = []
+            xmls: list[str] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":  # gzip/BGZF magic
+                    data = gzip.decompress(data)
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            fh = tf.extractfile(m)
+                            srcs.append(path)
+                            members.append(m.name)
+                            xmls.append(fh.read().decode("utf-8"))
+                except tarfile.ReadError:  # not a tar: one XML document
+                    srcs.append(path)
+                    members.append("")
+                    xmls.append(data.decode("utf-8"))
+            yield pd.DataFrame({"_source_file": srcs, "member": members, "xml": xmls})
+
+    member_df = bin_df.select("path", "content").mapInPandas(
+        unpack, "_source_file string, member string, xml string"
+    )
+
+    @F.pandas_udf(T.ArrayType(MARC_SCHEMA))
+    def parse(texts: pd.Series) -> pd.Series:
+        return pd.Series([parse_marcxml(t or "<collection/>") for t in texts])
+
+    return (
+        member_df.select(
+            "_source_file", "member", F.explode(parse(F.col("xml"))).alias("r")
+        )
+        .select("_source_file", "member", "r.record_id", "r.leader", "r.fields")
+    )

@@ -231,3 +231,134 @@ def test_fielded_snapshot_roundtrip(spark, tmp_path):
         a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()]
         b = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(loaded, q, k=10).collect()]
         assert a == b, q
+
+
+def test_fielded_positional_phrase_df_and_serving(fidx):
+    """TRUE positional phrases on the DataFrame AND serving tiers:
+    order matters (the old AND-within-field relaxation would match the
+    reversed phrase too)."""
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, 'title:"hash join"', k=10).collect()
+    }
+    assert hits == {0}
+    assert FL.bm25_topk_fielded(fidx, 'title:"join hash"', k=10).count() == 0
+    s = FL.LocalFieldedSearcher.from_index(fidx)
+    assert {d for d, _ in s.search('title:"hash join"', k=10)} == {0}
+    assert s.search('title:"join hash"', k=10) == []
+
+
+def test_copy_gap_blocks_cross_source_phrase(spark):
+    """COPY_GAP proof: a phrase straddling two copy_to sources must NOT
+    match positionally in the catch-all field, while each source's own
+    phrases still do."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "gamma delta")], "doc_id long, t1 string, t2 string"
+    )
+    fidx = FL.build_fielded_index(
+        df, fields={"t1": "t1", "t2": "t2"}, copy_to={"t1": ["all"], "t2": ["all"]}
+    )
+    assert FL.bm25_topk_fielded(fidx, '"beta gamma"', k=10).count() == 0
+    assert {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, '"alpha beta"', k=10).collect()} == {0}
+    assert {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, '"gamma delta"', k=10).collect()} == {0}
+    s = FL.LocalFieldedSearcher.from_index(fidx)
+    assert s.search('"beta gamma"', k=10) == []
+    assert {d for d, _ in s.search('"gamma delta"', k=10)} == {0}
+
+
+def test_per_field_analyzers_stemmed_vs_unstemmed(spark):
+    """The reference maps bib.namePersonal to the unstemmed analyzer
+    while the catch-all stems (hbztitle-mapping-v8.json:33-37): a
+    stemmed field matches morphological variants, the unstemmed field
+    does not — and query terms are analyzed per-FIELD."""
+    df = spark.createDataFrame(
+        [
+            (0, "merge queries fast", "exact tables"),
+            (1, "merged query slow", "table exact"),
+            (2, "sort scan", "nothing here"),
+        ],
+        "doc_id long, body string, kw string",
+    )
+    fidx = FL.build_fielded_index(
+        df,
+        fields={"body": ("body", "simple_stem"), "kw": ("kw", "simple")},
+    )
+    assert fidx.analyzers == {"body": "simple_stem", "kw": "simple"}
+    # 'queries' and 'query' both stem to 'queri' → stemmed field unifies
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "body:query", k=10).collect()}
+    assert hits == {0, 1}
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "body:queries", k=10).collect()}
+    assert hits == {0, 1}
+    # unstemmed field distinguishes surface forms
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "kw:tables", k=10).collect()}
+    assert hits == {0}
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "kw:table", k=10).collect()}
+    assert hits == {1}
+    # dl discounts stem overlap tokens: body dl = surface token count
+    dl = {(r["doc_id"], r["field"]): r["dl"] for r in fidx.doclens.collect()}
+    assert dl[(0, "body")] == 3 and dl[(1, "body")] == 3 and dl[(2, "body")] == 2
+
+
+def test_per_field_analyzers_three_tier_equality(spark):
+    """Two-analyzer fielded index: DataFrame, serving, and sharded tiers
+    agree on docs AND scores, including stemmed-field clauses, fuzzy,
+    prefix, and positional phrases."""
+    rows = [
+        (i, f"merge{'' if i % 2 else 'd'} queries w{i} fast", f"k{i % 3} exact")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, kw string")
+    fields = {"body": ("body", "simple_stem"), "kw": ("kw", "simple")}
+    fidx = FL.build_fielded_index(df, fields=fields, copy_to={"kw": ["all"]})
+    sidx = FL.build_fielded_sharded(df, fields=fields, copy_to={"kw": ["all"]}, shard_size=5)
+    assert sidx["body"].metrics["analyzer"] == "simple_stem"
+    srv = FL.LocalFieldedSearcher.from_index(fidx)
+    for q in [
+        "body:query",           # stemmed unification
+        "body:merge kw:exact",  # cross-field AND, 'merged' stems to 'merg'
+        "kw:k1 | kw:k2",
+        "body:quer*",           # prefix on the stemmed field
+        "body:mergd~1",         # fuzzy expansion, scored on expansions
+        'body:"queries w2"',    # positional fielded phrase
+        "exact",                # default (copy_to) field
+    ]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=20).collect()]
+        b = srv.search(q, k=20)
+        c = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=20).collect()
+        ]
+        assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
+        for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
+            assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q
+
+
+def test_unknown_field_lenient_on_all_tiers(fidx, spark):
+    """A typo'd field name matches nothing — identically on all three
+    tiers, never a crash (ES unmapped-field leniency)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, author string, lang string")
+    sidx = FL.build_fielded_sharded(
+        df,
+        fields={"title": "title", "author": "author", "lang": "lang"},
+        copy_to={"title": ["all"], "author": ["all"]},
+        shard_size=4,
+    )
+    srv = FL.LocalFieldedSearcher.from_index(fidx)
+    for q in ["typo:smith", "author:smith typo:x", "typo:x | author:smith"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in FL.bm25_topk_fielded(fidx, q, k=10).collect()]
+        b = [(d, round(s, 9)) for d, s in srv.search(q, k=10)]
+        c = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()
+        ]
+        assert a == b == c, (q, a, b, c)
+    # pure-unknown AND clause → empty everywhere
+    assert FL.bm25_topk_fielded(fidx, "typo:smith", k=10).count() == 0
+
+
+def test_copy_to_unknown_source_raises(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, t1 string")
+    with pytest.raises(ValueError, match="nosuch"):
+        FL.build_fielded_index(df, fields={"t1": "t1"}, copy_to={"nosuch": ["all"]})
+    with pytest.raises(ValueError, match="nosuch"):
+        FL.build_fielded_sharded(df, fields={"t1": "t1"}, copy_to={"nosuch": ["all"]})

@@ -114,6 +114,18 @@ def test_snapshot_scan_pushdown(spark, corpus, root):
     # dictionary parquet → row-group pruning instead of a full vocab scan
     plan3 = idx.terms.filter(F.col("term").startswith("tok"))._jdf.queryExecution().toString()
     assert "StringStartsWith(term,tok)" in plan3
+    # fuzzy expansion's length band hits the STORED tlen column — a
+    # pushable range predicate on the dictionary scan, not a computed
+    # length() over every row
+    assert "tlen" in idx.terms.columns
+    from limetrans_spark.operators.query import _expand_fuzzy
+
+    plan4 = (
+        idx.terms.filter(F.col("tlen").between(6, 10))._jdf.queryExecution().toString()
+    )
+    assert "GreaterThanOrEqual(tlen,6)" in plan4 and "LessThanOrEqual(tlen,10)" in plan4
+    # and the expansion path still answers correctly through the snapshot
+    assert "tokenize" in _expand_fuzzy(idx, "tokenizr", 1)
 
 
 def test_retention_numeric_seq_and_base_scoping(tmp_path):

@@ -87,3 +87,47 @@ def test_read_marcxml_spark(spark, tmp_path):
     assert ("001", None, None, "x1") in [
         (f["tag"], f["ind1"], f["sub"], f["value"]) for f in rows["x1"]["fields"]
     ]
+
+
+def _one_record_xml(rid: str, title: str) -> str:
+    return f"""<?xml version="1.0"?>
+<collection xmlns="http://www.loc.gov/MARC21/slim">
+  <record>
+    <leader>00000cam a2200000 a 4500</leader>
+    <controlfield tag="001">{rid}</controlfield>
+    <datafield tag="245" ind1="1" ind2="0">
+      <subfield code="a">{title}</subfield>
+    </datafield>
+  </record>
+</collection>
+"""
+
+
+def test_read_almaxml_tar(spark, tmp_path):
+    """ALMAXML = tar(.gz) of MARCXML member files (TarReader →
+    XmlDecoder, FileQueue.java:42-50): every member's records surface,
+    tagged with archive path + member name; a plain .xml through the
+    same processor still reads (magic-byte routing)."""
+    import tarfile
+
+    from limetrans_spark.sources.filequeue import FileQueue
+
+    tar_path = tmp_path / "alma_export.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for i in range(3):
+            p = tmp_path / f"member{i}.xml"
+            p.write_text(_one_record_xml(f"alma{i}", f"Title {i}"))
+            tf.add(p, arcname=f"member{i}.xml")
+    df = FileQueue(base=str(tmp_path), patterns=["*.tar.gz"], processor="almaxml").read(spark)
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert set(rows) == {"alma0", "alma1", "alma2"}
+    assert rows["alma1"]["member"] == "member1.xml"
+    assert any(
+        f["tag"] == "245" and f["value"] == "Title 1" for f in rows["alma1"]["fields"]
+    )
+    # plain XML (not a tar) through the almaxml processor
+    solo = tmp_path / "solo.xml"
+    solo.write_text(_one_record_xml("solo1", "Alone"))
+    df2 = FileQueue(base=str(tmp_path), patterns=["solo.xml"], processor="almaxml").read(spark)
+    got = {r["record_id"] for r in df2.collect()}
+    assert got == {"solo1"}
