@@ -49,22 +49,34 @@ def _token_sets(df: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> Da
     """(id, term) distinct feature rows; ``ngram > 1`` switches the
     feature space from single tokens to space-joined word shingles —
     the n-gram Jaccard / shingle-MinHash variant (order-sensitive, much
-    sharper near-dup signal on boilerplate-heavy corpora)."""
-    toks = simple_tokens(F.col(text_col))
+    sharper near-dup signal on boilerplate-heavy corpora).
+
+    Two plan details that dominate wall time: (1) the token ARRAY is
+    staged in its own projection, so the shingle transform references a
+    materialized column instead of re-splitting the text inside every
+    subexpression (CollapseProject keeps non-cheap, multiply-referenced
+    aliases staged); (2) a small input (one parquet file → one scan
+    split) is spread before tokenizing — at corpus scale the scan
+    already yields ≫ defaultParallelism splits and the branch never
+    fires, so no extra shuffle of raw text is added."""
+    staged = df.select(
+        F.col(id_col).alias("id"), simple_tokens(F.col(text_col)).alias("tk")
+    )
+    sc = df.sparkSession.sparkContext
+    spread = min(sc.defaultParallelism, 16)
+    if df.rdd.getNumPartitions() * 2 <= spread:
+        staged = staged.repartition(spread)
     if ngram > 1:
         feats = F.when(
-            F.size(toks) >= ngram,
+            F.size("tk") >= ngram,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - ngram + 1),
-                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+                F.sequence(F.lit(1), F.size("tk") - ngram + 1),
+                lambda i: F.array_join(F.slice(F.col("tk"), i, ngram), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
     else:
-        feats = toks
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(feats)).alias("term"),
-    )
+        feats = F.col("tk")
+    return staged.select("id", F.explode(F.array_distinct(feats)).alias("term"))
 
 
 def jaccard_pairs(
@@ -110,7 +122,8 @@ def jaccard_pairs(
         _LOG.info(
             "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
         )
-        toks = toks_all.join(keep, "term", "left_semi")
+        if n_pruned:  # no victims → skip the semi-join stage entirely
+            toks = toks_all.join(keep, "term", "left_semi")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     # attach each doc's set size to its token rows BEFORE the self-join:
     # the pair table (≫ #docs once near-dups are dense) then never

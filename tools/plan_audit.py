@@ -57,11 +57,32 @@ grab("IVF probe scan (after centroid-only cluster selection)",
      part.filter(F.col("label").isin([1, 2])),
      "PartitionFilters on label: probing = partition pruning, no full-corpus cosine stage.")
 
+grab("Fuzzy expansion — stored tlen length band",
+     idx.terms.filter(F.col("tlen").between(6, 8))
+        .filter(F.levenshtein(F.col("term"), F.lit("tokeniz")) <= 1),
+     "The length band hits the STORED tlen column — a pushed range predicate on the "
+     "dictionary scan — so levenshtein evaluates only band survivors, not the vocab.")
+
+from limetrans_spark.operators import fielded as FL
+fdocs = spark.createDataFrame(
+    [(i, f"hash join w{i}", "en") for i in range(40)],
+    "doc_id long, title string, lang string")
+fidx = FL.build_fielded_index(
+    fdocs, fields={"title": "title", "lang": "lang"}, copy_to={"title": ["all"]})
+grab("Fielded positional phrase (DataFrame tier)",
+     FL.bm25_topk_fielded(fidx, 'title:"hash join"', k=10),
+     "Phrase = iterative position-intersection equi-joins on doc_id over the "
+     "materialized per-posting position arrays — all JVM-side (array_intersect/"
+     "transform), no Python in the match path; COPY_GAP offsets make cross-source "
+     "phrases unsatisfiable in copy_to targets.")
+
 docs = spark.createDataFrame([(i, f"alpha beta w{i}") for i in range(50)], "doc_id long, text string")
 grab("Jaccard with high-DF ceiling",
      dedup.jaccard_pairs(docs, threshold=0.5, max_token_df=40),
      "left_semi against the df-capped term set BEFORE the self-join — ubiquitous tokens "
-     "never reach the pair generation.")
+     "never reach the pair generation; set sizes ride the token rows into the join "
+     "(grouping keys), so the pair table never re-joins a corpus-sized side, and the "
+     "size-ratio bound prunes hopeless pairs inside the join itself.")
 
 out = io.StringIO()
 out.write("""# PLANS — physical-plan audit of the headline operators
