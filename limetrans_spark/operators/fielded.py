@@ -108,6 +108,21 @@ class FieldedIndex:
     with_positions: bool = True
     uid: int = dc_field(default_factory=itertools.count().__next__)
 
+    def persist(self) -> "FieldedIndex":
+        """Pin and materialize the hot frames (postings/doclens/terms)
+        for repeated querying — the lazy frames otherwise re-tokenize
+        the corpus on every ``bm25_topk_fielded`` call.  The caller owns
+        the cache (``unpersist()`` when done); the sharded tier +
+        ``save_fielded`` remain the deployment path at scale."""
+        self.postings.persist().count()
+        self.doclens.persist().count()
+        self.terms.persist().count()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.doclens, self.terms):
+            df.unpersist()
+
 
 def _field_tokens(
     df: DataFrame, field_name: str, src_col: str, id_col: str, analyzer: str = "simple"
