@@ -329,6 +329,122 @@ def corpus_stats(doclens: DataFrame) -> tuple[int, float]:
     return n, (int(row["dl_sum"]) / n if n else 0.0)
 
 
+def invert_token_stream(toks: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """EXPLICIT (doc_id, term, pos) token stream → flat positional
+    postings (term, doc_id, tf, pos_blob) + per-doc dl, WITHOUT a
+    collect_list aggregation (whose ObjectHashAggregate fallback stops
+    scaling at high (term,doc) cardinality — measured in round 1).
+
+    One range-partition shuffle by (doc_id, term) co-locates and orders
+    each posting's positions; a streaming Arrow pass then emits one row
+    per (doc_id, term) run with the positions already delta-gap varint
+    encoded, plus dl = #distinct position slots per doc (overlap tokens
+    at one slot count once; COPY_GAP offsets don't inflate dl).  Output
+    column ``dl`` rides every posting row (the
+    :func:`doc_lengths_from_dl_column` convention).
+    """
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: tuple[int, str] | None = None
+        poss: list[np.ndarray] = []
+        # per-doc distinct-slot accounting spans term runs of one doc
+        cur_doc: int | None = None
+        doc_rows: list[dict] = []
+        doc_slots: set[int] = set()
+
+        def flush_run():
+            p = np.unique(np.concatenate(poss))
+            blob = codec.varint_encode(codec.delta_encode(p, 0))
+            doc_rows.append(
+                {"term": cur[1], "doc_id": cur[0], "tf": int(p.size), "pos_blob": blob}
+            )
+            doc_slots.update(p.tolist())
+
+        def flush_doc():
+            dl = len(doc_slots)
+            for r in doc_rows:
+                r["dl"] = dl
+                yield r
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: list[dict] = []
+            docs_arr = pdf["doc_id"].to_numpy()
+            terms_arr = pdf["term"].to_numpy()
+            pos_arr = pdf["pos"].to_numpy(dtype=np.int64)
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (docs_arr[1:] != docs_arr[:-1]) | (terms_arr[1:] != terms_arr[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                key = (int(docs_arr[s]), str(terms_arr[s]))
+                if key != cur:
+                    if cur is not None:
+                        flush_run()
+                    if key[0] != cur_doc:
+                        if cur_doc is not None:
+                            out.extend(flush_doc())
+                        cur_doc, doc_rows, doc_slots = key[0], [], set()
+                    cur, poss = key, []
+                poss.append(pos_arr[s:e])
+            if out:
+                yield pd.DataFrame(out)
+        if cur is not None:
+            flush_run()
+            yield pd.DataFrame(list(flush_doc()))
+
+    n_parts = num_partitions or toks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # range-partition by doc_id ONLY: a document's rows must be
+    # co-located for the distinct-slot dl accounting (a (doc_id, term)
+    # range could split one doc across partitions); per-doc row counts
+    # are bounded by document size, so no skew pivot
+    return (
+        toks.repartitionByRange(int(n_parts), "doc_id")
+        .sortWithinPartitions("doc_id", "term", "pos")
+        .mapInPandas(write, "term string, doc_id long, tf int, pos_blob binary, dl long")
+    )
+
+
+def build_index_from_tokens(
+    toks: DataFrame,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    analyzer_label: str = "pretokenized",
+) -> BuiltIndex:
+    """Full compressed index from an explicit (doc_id, term, pos) token
+    stream — for callers that COMPOSE their stream rather than own a
+    text column (the fielded tier's copy_to targets union
+    position-gapped source streams here, so cross-source phrases stay
+    unsatisfiable in the compressed positional payloads too — identical
+    semantics to the DataFrame tier's COPY_GAP).
+
+    Same artifacts and invariants as :func:`build_index` (tf counts
+    every occurrence incl. overlap tokens at one slot; dl counts
+    distinct slots; exact int64 avgdl)."""
+    with_dl = invert_token_stream(toks).persist()
+    postings = with_dl.drop("dl")
+    doclens = (
+        with_dl.groupBy("doc_id").agg(F.max("dl").cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .persist()
+    )
+    n_docs, avgdl = corpus_stats(doclens)
+    return BuiltIndex(
+        docstore=doclens.select("doc_id", "dl"),
+        postings=postings,
+        shards=build_shards(postings, shard_size=shard_size),
+        terms=term_stats(postings),
+        doclens=doclens,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        shard_size=shard_size,
+        metrics={"n_docs": n_docs, "avgdl": avgdl, "analyzer": analyzer_label,
+                 "shard_size": shard_size, "from_tokens": True},
+        shard_dl=build_shard_doclens(doclens, shard_size),
+    )
+
+
 # --------------------------------------------------------------------------
 # compressed, doc-sharded index (SPIMI writer)
 # --------------------------------------------------------------------------

@@ -680,35 +680,59 @@ def build_fielded_sharded(
     Each field is its own scoring space (how Lucene models fields), so
     each gets the full single-field machinery — SPIMI build, delta+varint
     blocks, block-max WAND, LocalSearcher — unchanged and with all its
-    invariants.  copy_to targets index the space-joined concatenation of
-    their sources under the target's analyzer (``target_analyzers``,
-    default ``simple``; dl and term stats match the union of the source
-    streams; phrases can straddle a source boundary here, unlike the
-    position-gapped DataFrame tier — the one documented deviation).
-    Single-field ranked queries route straight to that field's
-    ``bm25_topk_sharded``; cross-field queries compose through
+    invariants.  copy_to targets index the UNION of their sources'
+    token streams under the target's analyzer (``target_analyzers``,
+    default ``simple``) with per-source COPY_GAP position offsets
+    preserved into the compressed positional payloads
+    (:func:`operators.build.build_index_from_tokens`), so cross-source
+    phrases are unsatisfiable on this tier exactly as on the DataFrame
+    tier — same tf/df/dl, bit-identical scores.  Single-field ranked
+    queries route straight to that field's ``bm25_topk_sharded``;
+    cross-field queries compose through
     :func:`bm25_topk_fielded_sharded`.
     """
-    from .build import build_index
+    from .build import build_index, build_index_from_tokens
 
     copy_to = copy_to or {}
     target_analyzers = target_analyzers or {}
     norm = _norm_fields(fields)
     _check_copy_sources(copy_to, norm)
-    sources: dict[str, tuple[list[str], str]] = {
-        f: ([src], analyzer) for f, (src, analyzer) in norm.items()
-    }
-    for src_field, targets in sorted(copy_to.items()):
-        for tgt in targets:
-            if tgt not in sources:
-                sources[tgt] = ([], target_analyzers.get(tgt, "simple"))
-            sources[tgt][0].append(norm[src_field][0])
     out = {}
-    for fname, (cols, analyzer) in sources.items():
-        text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
-        docs = df.select(F.col(id_col).alias("doc_id"), text.alias("content"))
+    for fname, (src, analyzer) in norm.items():
+        docs = df.select(F.col(id_col).alias("doc_id"), F.col(src).alias("content"))
         out[fname] = build_index(
             docs, text_col="content", analyzer=analyzer, shard_size=shard_size
+        )
+    # copy targets: gapped union of source token streams (same stream
+    # construction as build_fielded_index), compressed from tokens
+    tgt_sources: dict[str, list[DataFrame]] = {}
+    for i, (src_field, targets) in enumerate(sorted(copy_to.items())):
+        src_col = norm[src_field][0]
+        for tgt in targets:
+            t_an = target_analyzers.get(tgt, "simple")
+            t = _field_tokens(df, tgt, src_col, id_col, t_an).select(
+                "doc_id", "term", (F.col("pos") + F.lit(i * COPY_GAP)).cast("int").alias("pos")
+            )
+            tgt_sources.setdefault(tgt, []).append(t)
+    for tgt, streams in tgt_sources.items():
+        if tgt in norm:  # declared field that also receives copies:
+            # its direct stream joins the union, unoffset (as on the
+            # DF tier), and the copy-built index replaces the direct one
+            src, analyzer = norm[tgt]
+            streams = [
+                _field_tokens(df, tgt, src, id_col, analyzer).select(
+                    "doc_id", "term", F.col("pos").cast("int").alias("pos")
+                )
+            ] + streams
+        toks = streams[0]
+        for s in streams[1:]:
+            toks = toks.unionByName(s)
+        out[tgt] = build_index_from_tokens(
+            toks,
+            shard_size=shard_size,
+            analyzer_label=(
+                norm[tgt][1] if tgt in norm else target_analyzers.get(tgt, "simple")
+            ),
         )
     return out
 

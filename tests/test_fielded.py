@@ -78,7 +78,7 @@ def test_cross_field_and_or_not(fidx):
 def test_field_prefix_and_phrase(fidx):
     hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "title:ha*", k=10).collect()}
     assert hits == {0, 2}
-    # fielded phrase (AND-within-field relaxation)
+    # fielded phrase (positional since round 3)
     hits = {
         r["doc_id"]
         for r in FL.bm25_topk_fielded(fidx, 'title:"hash join"', k=10).collect()
@@ -199,7 +199,7 @@ def test_fielded_sharded_matches_df_tier(spark):
     assert hits == {0}
     assert (
         FL.bm25_topk_fielded_sharded(sidx, 'title:"join hash"', k=15).count() == 0
-    )  # order matters — the DF tier's AND relaxation would match doc 0
+    )  # order matters (the DF tier is positional too since round 3)
     # single-field ranked queries route straight to that field's
     # compressed WAND machinery
     from limetrans_spark.operators import query as Q
@@ -362,3 +362,36 @@ def test_copy_to_unknown_source_raises(spark):
         FL.build_fielded_index(df, fields={"t1": "t1"}, copy_to={"nosuch": ["all"]})
     with pytest.raises(ValueError, match="nosuch"):
         FL.build_fielded_sharded(df, fields={"t1": "t1"}, copy_to={"nosuch": ["all"]})
+
+
+def test_copy_gap_blocks_cross_source_phrase_sharded(spark):
+    """Round-3 parity: the SHARDED tier's copy_to targets index the
+    gapped token-stream union (build_index_from_tokens), so a phrase
+    straddling two sources is unsatisfiable there too — no tier
+    deviation left — while tf/df/dl/scores stay bit-equal to the DF
+    tier."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "gamma delta"), (1, "beta gamma", "x y")],
+        "doc_id long, t1 string, t2 string",
+    )
+    fields = {"t1": "t1", "t2": "t2"}
+    copy_to = {"t1": ["all"], "t2": ["all"]}
+    fidx = FL.build_fielded_index(df, fields=fields, copy_to=copy_to)
+    sidx = FL.build_fielded_sharded(df, fields=fields, copy_to=copy_to, shard_size=4)
+    # doc 1 really contains "beta gamma" in ONE source → matches; doc 0
+    # only across the t1|t2 boundary → must NOT match, on either tier
+    for q in ['"beta gamma"', '"alpha beta"', '"gamma delta"', "beta | gamma"]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=10).collect()]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()
+        ]
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert abs(sa - sb) < 1e-9, q
+    assert {
+        r["doc_id"] for r in FL.bm25_topk_fielded_sharded(sidx, '"beta gamma"', k=10).collect()
+    } == {1}
+    # per-field stats equality (dl = distinct slots on both tiers)
+    for f, (dc, avgdl) in fidx.stats.items():
+        assert sidx[f].n_docs == dc and abs(sidx[f].avgdl - avgdl) < 1e-12, f
