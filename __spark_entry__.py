@@ -312,6 +312,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_jaccard"] = dedup_jaccard
 
+    # PPJoin prefix filtering (rarest-first prefixes join, survivors
+    # verified exactly) — gated against the SAME oracle as the exact
+    # plan: the filter must be lossless
+    def dedup_jaccard_prefix(s, d):
+        docs = _t(s, d, "documents")
+        ceiling = int(0.9 * docs.count())
+        return dedup.jaccard_pairs(
+            docs, threshold=0.9, max_token_df=ceiling, prefix_filter=True
+        )
+
+    q["dedup_jaccard_prefix"] = dedup_jaccard_prefix
+
     # n-gram shingle Jaccard: order-sensitive near-dup (word 3-shingles).
     # Shingle mode always runs with a df-ceiling (repeated boilerplate
     # shingles are exactly the features that go quadratic at 100 TB):
@@ -870,6 +882,9 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.9"""
+
+    # prefix-filtered Jaccard must equal the exact plan — same oracle
+    o["dedup_jaccard_prefix"] = o["dedup_jaccard"]
 
     o["dedup_jaccard_3gram"] = """
 WITH tk AS (

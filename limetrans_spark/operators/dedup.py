@@ -86,6 +86,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_token_df: int | str | None = "auto",
     ngram: int = 1,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Token-set Jaccard similarity join → (id_a, id_b, jaccard ≥ threshold).
     ``ngram > 1`` computes Jaccard over word shingles instead of tokens.
@@ -107,6 +108,17 @@ def jaccard_pairs(
     repeated boilerplate shingles are precisely the high-DF features
     that go quadratic.
 
+    ``prefix_filter=True`` switches candidate generation to the SSJoin/
+    PPJoin prefix filter: under a global rarest-first token order
+    (ascending df, then term), two sets with Jaccard ≥ t must share a
+    token within their first ``|d| − ⌊t·|d|⌋ + 1`` tokens, so only the
+    prefixes join; survivors are verified with exact intersection
+    counts.  Results are IDENTICAL to the exact plan (tested + gated);
+    the join shrinks by ~(1−t)² — the decisive candidate-generation cut
+    at high thresholds on 100 TB corpora.  (⌊·⌋ rather than ⌈·⌉ keeps
+    the prefix a token longer, absorbing float boundary effects — a
+    strict superset of the canonical candidates.)
+
     The result is materialized and cached before return (the caller owns
     that cache — ``.unpersist()`` when done); every intermediate cache is
     released here.
@@ -125,6 +137,12 @@ def jaccard_pairs(
         if n_pruned:  # no victims → skip the semi-join stage entirely
             toks = toks_all.join(keep, "term", "left_semi")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    if prefix_filter:
+        out = _jaccard_prefix_filtered(toks, sizes, float(threshold))
+        out = out.persist()
+        out.count()
+        toks_all.unpersist()
+        return out
     # attach each doc's set size to its token rows BEFORE the self-join:
     # the pair table (≫ #docs once near-dups are dense) then never
     # re-joins a corpus-sized side — sz rides through the aggregation as
@@ -172,6 +190,74 @@ def jaccard_pairs(
     out.count()
     toks_all.unpersist()
     return out
+
+
+def _jaccard_prefix_filtered(toks: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """SSJoin/PPJoin candidate generation + exact verification.
+
+    Theorem (prefix filtering): fix any total order on the token
+    universe.  If ``|A∩B| ≥ α``, the first ``|A|−α+1`` tokens of A and
+    the first ``|B|−α+1`` of B (in that order) intersect — otherwise all
+    shared tokens would sit in the two suffixes of length α−1 < α.
+    For Jaccard ≥ t, ``|A∩B| ≥ t·|A∪B| ≥ t·|A|`` (and ≥ t·|B|), so
+    per-doc ``α = ⌊t·|d|⌋`` (floor: one token of slack, see caller) and
+    only the prefixes need to self-join.  The order is ascending global
+    df then term — rarest-first, so prefixes join on the LEAST frequent
+    tokens, exactly inverting the hot-token blowup.
+
+    Verification joins the candidate pairs back to the full token sets
+    on ``(id, term)`` — equi-keys, no per-pair cartesian — and applies
+    the exact Jaccard filter, so the output is identical to the exact
+    plan.
+    """
+    from pyspark.sql import Window
+
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("tdf"))
+    w = Window.partitionBy("id").orderBy(F.col("tdf").asc(), F.col("term").asc())
+    ranked = (
+        toks.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    pref = ranked.filter(
+        F.col("rnk")
+        <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz").cast("double")) + 1
+    ).select("id", "term", "sz")
+    pa, pb = pref.alias("a"), pref.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+                / F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+                >= F.lit(threshold)
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "term")
+    tb = toks.select(F.col("id").alias("id_b"), "term")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])  # (id_b, term) equi-join: only shared tokens survive
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def minhash_signatures(

@@ -276,3 +276,32 @@ def test_jaccard_shingle_auto_ceiling_and_exact_optin(spark):
     exact = dedup.jaccard_pairs(df, threshold=0.01, ngram=3, max_token_df=None)
     assert exact.count() == 30 * 29 // 2
     exact.unpersist()
+
+
+def test_jaccard_prefix_filter_equals_exact(spark):
+    """PPJoin prefix filtering is a pure candidate-generation cut: the
+    verified output must equal the exact plan's output — same pairs,
+    same jaccard values — at every threshold."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(5, 14))
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dups
+            mut = list(base)
+            if len(mut) > 6:
+                mut[0] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        exact = dedup.jaccard_pairs(df, threshold=t, max_token_df=None)
+        fast = dedup.jaccard_pairs(df, threshold=t, max_token_df=None, prefix_filter=True)
+        a = sorted(map(tuple, exact.collect()))
+        b = sorted(map(tuple, fast.collect()))
+        exact.unpersist()
+        fast.unpersist()
+        assert a == b, (t, len(a), len(b))
+        assert len(a) > 0  # the fixture plants matches at every threshold

@@ -395,3 +395,31 @@ def test_copy_gap_blocks_cross_source_phrase_sharded(spark):
     # per-field stats equality (dl = distinct slots on both tiers)
     for f, (dc, avgdl) in fidx.stats.items():
         assert sidx[f].n_docs == dc and abs(sidx[f].avgdl - avgdl) < 1e-12, f
+
+
+def test_fielded_snapshot_roundtrip_preserves_analyzers(spark, tmp_path):
+    """save_fielded/load_fielded keeps each field's analyzer in the
+    snapshot manifest metrics, so the loaded index still analyzes query
+    terms per-field (a stemmed field keeps matching morphological
+    variants after a restart)."""
+    from limetrans_spark.plans.lifecycle import load_fielded, save_fielded
+
+    df = spark.createDataFrame(
+        [(0, "merge queries fast", "exact tables"), (1, "merged query slow", "table exact")],
+        "doc_id long, body string, kw string",
+    )
+    sidx = FL.build_fielded_sharded(
+        df,
+        fields={"body": ("body", "simple_stem"), "kw": ("kw", "simple")},
+        copy_to={"kw": ["all"]},
+        shard_size=4,
+    )
+    root = str(tmp_path / "froot2")
+    save_fielded(sidx, root, "code", "g1")
+    loaded = load_fielded(spark, root)
+    assert loaded["body"].metrics["analyzer"] == "simple_stem"
+    assert loaded["all"].metrics["analyzer"] == "simple"
+    for q in ["body:query", "body:queries kw:exact", "exact"]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(loaded, q, k=10).collect()]
+        assert a == b and len(a) > 0, q
