@@ -163,3 +163,33 @@ def test_get_document_point_lookup(spark):
     doc = idx.get_document(some)
     assert doc is not None and doc["doc_id"] == some and "content" in doc
     assert idx.get_document(10**12) is None
+
+
+def test_invert_token_stream_positions_and_dl(spark):
+    """invert_token_stream: tf = occurrences, dl = distinct position
+    slots (overlap tokens at one slot count once), pos_blob round-trips
+    the exact gapped positions — across partition boundaries."""
+    import numpy as np
+
+    from limetrans_spark.operators import codec
+    from limetrans_spark.operators.build import invert_token_stream
+
+    rows = []
+    for doc in range(6):
+        rows += [(doc, "alpha", 0), (doc, "beta", 1), (doc, "alpha", 2)]
+        rows += [(doc, "stem", 1)]  # overlap token at slot 1
+        rows += [(doc, "far", 1_000_000 + doc)]  # COPY_GAP-style offset
+    toks = spark.createDataFrame(rows, "doc_id long, term string, pos int").repartition(5)
+    out = invert_token_stream(toks, num_partitions=3).collect()
+    by_key = {(r["doc_id"], r["term"]): r for r in out}
+    for doc in range(6):
+        assert by_key[(doc, "alpha")]["tf"] == 2
+        assert by_key[(doc, "alpha")]["dl"] == 4  # slots {0,1,2,1e6+doc}
+        pos = np.cumsum(
+            codec.varint_decode(bytes(by_key[(doc, "far")]["pos_blob"]), 1)
+        ).tolist()
+        assert pos == [1_000_000 + doc]
+        pos_a = np.cumsum(
+            codec.varint_decode(bytes(by_key[(doc, "alpha")]["pos_blob"]), 2)
+        ).tolist()
+        assert pos_a == [0, 2]
