@@ -36,7 +36,7 @@ def _add_build(sub):
     p.add_argument("--name", default="code")
     p.add_argument("--generation", required=True, help="snapshot generation id (e.g. 20260816)")
     p.add_argument("--text-col", default="content")
-    p.add_argument("--analyzer", default="code", choices=["code", "simple"])
+    p.add_argument("--analyzer", default="code", choices=["code", "simple", "simple_stem"])
     p.add_argument("--shard-size", type=int, default=1 << 17)
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--wave-size", type=int, default=4)
@@ -51,6 +51,38 @@ def _add_search(sub):
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--mode", default="df", choices=["df", "wand", "taat"])
     p.add_argument("--operator", default=None, choices=["and", "or"])
+
+
+def _add_build_fielded(sub):
+    p = sub.add_parser(
+        "build-fielded",
+        help="build + publish per-field index snapshots (save_fielded layout)",
+    )
+    p.add_argument("--input", required=True, help="parquet path of the corpus table")
+    p.add_argument("--root", required=True)
+    p.add_argument("--name", default="code")
+    p.add_argument("--generation", required=True)
+    p.add_argument(
+        "--fields", required=True,
+        help='JSON field map: {"field": "col"} or {"field": ["col", "analyzer"]}',
+    )
+    p.add_argument(
+        "--copy-to", default=None,
+        help='JSON copy_to map: {"source_field": ["target", ...]}',
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--shard-size", type=int, default=1 << 17)
+    p.add_argument("--retain", type=int, default=2)
+
+
+def _add_search_fielded(sub):
+    p = sub.add_parser(
+        "search-fielded", help="fielded BM25 top-k (field:term query syntax)"
+    )
+    p.add_argument("--root", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--default-field", default="all")
 
 
 def _add_filter(sub):
@@ -71,6 +103,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_build(sub)
     _add_search(sub)
+    _add_build_fielded(sub)
+    _add_search_fielded(sub)
     _add_filter(sub)
     args = ap.parse_args(argv)
 
@@ -105,6 +139,38 @@ def main(argv: list[str] | None = None) -> int:
                     idx, args.query, k=args.k,
                     operator=args.operator, algorithm=args.mode,
                 )
+            for r in out.collect():
+                print(json.dumps({"doc_id": r["doc_id"], "score": round(r["score"], 6)}))
+        elif args.cmd == "build-fielded":
+            from .operators import fielded as FL
+
+            corpus = spark.read.parquet(args.input)
+            fields = {
+                k: (tuple(v) if isinstance(v, list) else v)
+                for k, v in json.loads(args.fields).items()
+            }
+            copy_to = json.loads(args.copy_to) if args.copy_to else None
+            sidx = FL.build_fielded_sharded(
+                corpus, fields=fields, copy_to=copy_to,
+                id_col=args.id_col, shard_size=args.shard_size,
+            )
+            paths = lc.save_fielded(
+                sidx, args.root, args.name, args.generation, retain=args.retain
+            )
+            print(json.dumps({
+                "fields": {
+                    f: {"snapshot": paths[f], "n_docs": sidx[f].n_docs,
+                        "analyzer": sidx[f].metrics.get("analyzer")}
+                    for f in sorted(paths)
+                }
+            }))
+        elif args.cmd == "search-fielded":
+            from .operators import fielded as FL
+
+            idxs = lc.load_fielded(spark, args.root)
+            out = FL.bm25_topk_fielded_sharded(
+                idxs, args.query, k=args.k, default_field=args.default_field
+            )
             for r in out.collect():
                 print(json.dumps({"doc_id": r["doc_id"], "score": round(r["score"], 6)}))
         elif args.cmd == "filter":

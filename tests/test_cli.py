@@ -127,3 +127,34 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "SUBMIT_RESULT 5 111" in r.stdout  # rank-identical to the library run
+
+
+def test_cli_fielded_build_and_search(spark, tmp_path_factory):
+    """build-fielded (two analyzers via JSON spec) → search-fielded over
+    the published per-field snapshots, stemmed field:term syntax."""
+    p = str(tmp_path_factory.mktemp("clifieldcorpus") / "corpus")
+    spark.createDataFrame(
+        [(0, "merge queries fast", "en"), (1, "merged query slow", "de"),
+         (2, "sort scan", "en")],
+        "doc_id long, body string, lang string",
+    ).write.parquet(p)
+    root = str(tmp_path_factory.mktemp("clifieldidx"))
+    out = run_cli(
+        "build-fielded", "--input", p, "--root", root, "--generation", "g1",
+        "--fields", '{"body": ["body", "simple_stem"], "lang": "lang"}',
+        "--copy-to", '{"body": ["all"]}',
+        "--shard-size", "4",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["fields"]["body"]["analyzer"] == "simple_stem"
+    assert set(rep["fields"]) == {"body", "lang", "all"}
+
+    out2 = run_cli("search-fielded", "--root", root, "--query", "body:query lang:en")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    hits = [json.loads(l) for l in out2.stdout.strip().splitlines() if l.startswith("{")]
+    # 'query' stems to 'queri' → matches doc 0 ('queries') in lang en
+    assert [h["doc_id"] for h in hits] == [0]
+
+    out3 = run_cli("search-fielded", "--root", root, "--query", "nosuchfield:x")
+    assert out3.returncode == 0 and out3.stdout.strip() == ""  # lenient
