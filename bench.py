@@ -114,7 +114,17 @@ def main():
                 f.result()
         return idx
 
-    idx, t_build = timed(do_build)
+    # best-of-2 builds (same policy as the scaling study): a single timed
+    # build can absorb a host-steal spike; clearCache between reps so the
+    # second build re-tokenizes from parquet instead of hitting Spark's
+    # logical-plan cache registry
+    t_builds = []
+    idx = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        idx, t = timed(do_build)
+        t_builds.append(t)
+    t_build = min(t_builds)
     queries["build"] = round(t_build, 3)
 
     # warm the flat-postings cache for the query benchmarks
