@@ -341,7 +341,10 @@ def invert_token_stream(toks: DataFrame, num_partitions: int | None = None) -> D
     encoded, plus dl = #distinct position slots per doc (overlap tokens
     at one slot count once; COPY_GAP offsets don't inflate dl).  Output
     column ``dl`` rides every posting row (the
-    :func:`doc_lengths_from_dl_column` convention).
+    :func:`doc_lengths_from_dl_column` convention).  Duplicate
+    (doc_id, term, pos) triples in the input collapse to one occurrence
+    (the operation is idempotent — our analyzers never emit duplicates,
+    but user-composed streams might).
     """
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

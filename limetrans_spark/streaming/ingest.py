@@ -156,7 +156,13 @@ def incremental_index(
     discounted, exactly as the batch build does).  Compaction must NOT
     re-derive dl as Σtf: that identity only holds for analyzers without
     overlap tokens and silently inflates BM25 length norms for
-    camelCase/underscore identifiers under the default code analyzer."""
+    camelCase/underscore identifiers under the default code analyzer.
+
+    A delta directory must be format-homogeneous: dl-less deltas from
+    before this format are still compactable (legacy branch in
+    :func:`compact_deltas`), but don't mix formats in one ``out_dir`` —
+    start a new directory (and checkpoint) on upgrade, compact the old
+    one once."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

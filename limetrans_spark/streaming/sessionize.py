@@ -34,7 +34,11 @@ OUTPUT_SCHEMA = T.StructType(
 
 # open-session state: (start_us, end_us, n_events, total scaled to 1e-6)
 # — the total is an exact integer in micro-units so the accumulation is
-# order-independent and bit-equal to the batch twin's decimal(28,6) sum
+# order-independent and bit-equal to the batch twin's decimal(28,6) sum.
+# NOTE: this is a STATE SCHEMA CHANGE vs the pre-round-3 double field —
+# resume a pre-change streaming checkpoint by draining it with the old
+# code, then restarting on a fresh checkpoint (Spark state schemas don't
+# evolve in place)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType()),

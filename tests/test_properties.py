@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the pure kernels — the codec
+and the analyzers are the layers where a single wrong byte silently
+corrupts rankings, so they get generative coverage on top of the fixed
+vectors."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from limetrans_spark.functions.analysis import (
+    code_doc_length,
+    code_tokenize_py,
+    invert_py,
+    simple_tokenize_py,
+)
+from limetrans_spark.operators import codec
+
+sorted_unique_int64 = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=0, max_size=200, unique=True
+).map(sorted)
+
+
+@settings(max_examples=200, deadline=None)
+@given(sorted_unique_int64)
+def test_varint_delta_roundtrip(vals):
+    a = np.asarray(vals, dtype=np.int64)
+    blob = codec.varint_encode(codec.delta_encode(a, 0))
+    back = codec.delta_decode(codec.varint_decode(blob, a.size), 0)
+    assert back.tolist() == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(sorted_unique_int64, min_size=1, max_size=20))
+def test_grouped_position_encoding_roundtrip(lists):
+    lists = [l for l in lists if l]  # empty lists carry no payload
+    if not lists:
+        return
+    flat = np.asarray([x for l in lists for x in l], dtype=np.int64)
+    lens = np.asarray([len(l) for l in lists], dtype=np.int64)
+    blobs = codec.encode_positions_grouped(flat, lens)
+    assert len(blobs) == len(lists)
+    decoded = codec.decode_positions(b"".join(blobs), lens)
+    assert [d.tolist() for d in decoded] == lists
+
+
+@settings(max_examples=100, deadline=None)
+@given(sorted_unique_int64.filter(lambda v: len(v) > 0), st.integers(0, 2**20))
+def test_postings_block_roundtrip(docs, base_off):
+    d = np.asarray(docs, dtype=np.int64) + base_off
+    t = np.arange(1, d.size + 1, dtype=np.int64)
+    doc_blob, tf_blob, bl, bm = codec.encode_postings(d, t, base=base_off)
+    dd, tt = codec.decode_postings(doc_blob, tf_blob, d.size, base=base_off)
+    assert dd.tolist() == d.tolist() and tt.tolist() == t.tolist()
+    # block-max metadata is sound: every block max bounds its members
+    assert max(bm) == int(t.max())
+
+
+text_strategy = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Pd", "Pc"),
+        max_codepoint=0x2FF,
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_code_tokenizer_invariants(text):
+    toks = code_tokenize_py(text)
+    # positions are sorted, non-negative, dense-ish (dl = max+1)
+    poss = [p for _, p in toks]
+    assert poss == sorted(poss)
+    assert all(p >= 0 for p in poss)
+    assert code_doc_length(toks) == ((max(poss) + 1) if toks else 0)
+    # terms are lowercase and token-charset only
+    assert all(t == t.lower() and t for t, _ in toks)
+    # determinism
+    assert toks == code_tokenize_py(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_invert_py_consistent_with_tokenizer(text):
+    dl, postings = invert_py(text, "code")
+    toks = code_tokenize_py(text)
+    assert dl == code_doc_length(toks)
+    # tf sums to the token count; positions sorted per term
+    assert sum(tf for _, tf, _ in postings) == len(toks)
+    for term, tf, ps in postings:
+        assert len(ps) == tf and ps == sorted(ps)
+    # terms sorted (the SPIMI mapper's determinism contract)
+    assert [t for t, _, _ in postings] == sorted(t for t, _, _ in postings)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_simple_tokenizer_matches_regex_semantics(text):
+    toks = simple_tokenize_py(text)
+    assert all(t and all(c.islower() or c.isdigit() for c in t) for t in toks)
+    # idempotent under its own output
+    assert simple_tokenize_py(" ".join(toks)) == toks
