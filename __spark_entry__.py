@@ -324,6 +324,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_jaccard_prefix"] = dedup_jaccard_prefix
 
+    # near-dup cluster resolution: connected components over the pair
+    # graph (min-label propagation) — the survivor-selection step after
+    # pair generation; cluster_id = smallest doc id in the component
+    def dedup_clusters(s, d):
+        docs = _t(s, d, "documents")
+        ceiling = int(0.9 * docs.count())
+        pairs = dedup.jaccard_pairs(docs, threshold=0.9, max_token_df=ceiling)
+        out = dedup.near_dup_clusters(pairs, docs.select("doc_id"))
+        pairs.unpersist()
+        return out
+
+    q["dedup_clusters"] = dedup_clusters
+
     # n-gram shingle Jaccard: order-sensitive near-dup (word 3-shingles).
     # Shingle mode always runs with a df-ceiling (repeated boilerplate
     # shingles are exactly the features that go quadratic at 100 TB):
@@ -885,6 +898,39 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.9"""
 
     # prefix-filtered Jaccard must equal the exact plan — same oracle
     o["dedup_jaccard_prefix"] = o["dedup_jaccard"]
+
+    # connected components over the 0.9-jaccard pair graph: DuckDB-side
+    # transitive closure (recursive CTE, UNION dedups so cycles
+    # terminate) vs the engine's min-label propagation
+    o["dedup_clusters"] = """
+WITH RECURSIVE toks0 AS (
+  SELECT DISTINCT doc_id AS id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+keep AS (
+  SELECT term FROM toks0 GROUP BY term
+  HAVING COUNT(*) <= (SELECT CAST(floor(0.9 * COUNT(*)) AS BIGINT) FROM documents)
+),
+toks AS (SELECT toks0.* FROM toks0 JOIN keep USING (term)),
+sizes AS (SELECT id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS i
+  FROM toks a JOIN toks b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.9
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""
 
     o["dedup_jaccard_3gram"] = """
 WITH tk AS (

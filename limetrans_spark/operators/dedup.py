@@ -487,3 +487,80 @@ def embedding_lsh_pairs(
     out.count()
     sig.unpersist()
     return out
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters → (doc_id, cluster_id), with
+    ``cluster_id`` = the smallest doc id in the connected component —
+    the survivor-selection step after :func:`jaccard_pairs` /
+    :func:`minhash_lsh_candidates` / :func:`embedding_lsh_pairs`
+    (keep ``doc_id == cluster_id``, drop the rest).
+
+    Algorithm: iterative min-label propagation (the DataFrame-native
+    connected-components shape).  Each round is ONE shuffle keyed by
+    doc id: neighbors' labels aggregate with min, each node keeps the
+    smaller of its own and the best neighbor label.  Labels only
+    decrease, so the exact int64 label-sum is a monotone convergence
+    witness — fixpoint when the sum stops changing, with no old-vs-new
+    join.  Rounds needed = graph diameter; near-dup components are
+    dense (small diameter), and ``max_iter`` guards pathological chains
+    (raises rather than returning a half-propagated clustering).
+
+    Deterministic at any parallelism (min is order-free); per-round
+    frames are persisted and released pairwise; the result is
+    materialized and cached (caller owns it — same contract as the pair
+    generators).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    converged = False
+    for _ in range(max_iter):
+        cand = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            "(pathological chain graph? raise max_iter)"
+        )
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # labels is already persisted and materialized; hand ownership over
+    return out

@@ -305,3 +305,24 @@ def test_jaccard_prefix_filter_equals_exact(spark):
         fast.unpersist()
         assert a == b, (t, len(a), len(b))
         assert len(a) > 0  # the fixture plants matches at every threshold
+
+
+def test_near_dup_clusters(spark):
+    """Min-label propagation resolves pair graphs into components:
+    chains propagate to the component minimum, isolated nodes keep
+    their own id, and the non-convergence guard raises."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long")
+    out = dedup.near_dup_clusters(pairs, ids)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    out.unpersist()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+    # a 6-chain cannot finish in 1 round
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    cids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.near_dup_clusters(chain, cids, max_iter=1)
