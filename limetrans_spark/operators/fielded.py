@@ -174,14 +174,19 @@ def build_fielded_index(
         streams.append(_field_tokens(df, fname, src, id_col, analyzer))
     # copy_to: re-emit each source column's tokens under the target field
     # (analyzed with the target's analyzer), offsetting positions per
-    # source so phrases can't straddle sources
+    # source so phrases can't straddle sources.  Offset (i+1)*COPY_GAP:
+    # slot 0 is reserved for the target's own direct stream (a declared
+    # field can also be a copy_to target), so no copy stream can share
+    # the direct stream's position space
     for i, (src_field, targets) in enumerate(sorted(copy_to.items())):
         src_col = norm[src_field][0]
         for tgt in targets:
             t_an = target_analyzers.get(tgt, "simple")
             analyzers.setdefault(tgt, t_an)
             t = _field_tokens(df, tgt, src_col, id_col, t_an)
-            streams.append(t.withColumn("pos", (F.col("pos") + F.lit(i * COPY_GAP)).cast("int")))
+            streams.append(
+                t.withColumn("pos", (F.col("pos") + F.lit((i + 1) * COPY_GAP)).cast("int"))
+            )
     toks = streams[0]
     for s in streams[1:]:
         toks = toks.unionByName(s)
@@ -711,7 +716,11 @@ def build_fielded_sharded(
         for tgt in targets:
             t_an = target_analyzers.get(tgt, "simple")
             t = _field_tokens(df, tgt, src_col, id_col, t_an).select(
-                "doc_id", "term", (F.col("pos") + F.lit(i * COPY_GAP)).cast("int").alias("pos")
+                "doc_id",
+                "term",
+                # (i+1)*COPY_GAP: slot 0 reserved for a declared target
+                # field's direct stream, mirroring build_fielded_index
+                (F.col("pos") + F.lit((i + 1) * COPY_GAP)).cast("int").alias("pos"),
             )
             tgt_sources.setdefault(tgt, []).append(t)
     for tgt, streams in tgt_sources.items():

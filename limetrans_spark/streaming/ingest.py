@@ -194,10 +194,34 @@ def read_postings_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
     maxima would leak stale postings for dropped terms.  One aggregate
     to find each doc's newest batch, one equi-join to keep exactly that
     batch's rows (both sides shuffle-partitioned on doc_id; the
-    aggregate side is tiny — one row per doc)."""
+    aggregate side is tiny — one row per doc).
+
+    Read with ``mergeSchema=true``: plain parquet reads infer the schema
+    from ONE arbitrary footer, so a directory that mixes dl-less legacy
+    batches with dl-carrying ones would silently drop ``dl`` (or not)
+    depending on which footer won.  With the merged schema, mixed
+    directories surface deterministically as null ``dl`` on the legacy
+    rows — and compaction fails fast on those instead of silently
+    mis-deriving document lengths (ADVICE r3)."""
     if not os.path.isdir(out_dir):
         raise FileNotFoundError(out_dir)
-    deltas = spark.read.parquet(out_dir)
+    deltas = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    if "dl" in deltas.columns:
+        bad = [
+            r["batch"]
+            for r in deltas.where(F.col("dl").isNull())
+            .select("batch")
+            .distinct()
+            .collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"mixed delta formats in {out_dir}: batches {sorted(bad)} carry no "
+                "tokenize-time dl while others do; compaction cannot derive correct "
+                "document lengths across formats. Compact the legacy directory "
+                "separately, then start a new out_dir (and checkpoint) for the "
+                "dl-carrying format."
+            )
     newest = deltas.groupBy("doc_id").agg(F.max("batch").alias("batch"))
     return deltas.join(newest, ["doc_id", "batch"], "left_semi").drop("batch")
 

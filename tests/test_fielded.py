@@ -423,3 +423,59 @@ def test_fielded_snapshot_roundtrip_preserves_analyzers(spark, tmp_path):
         a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()]
         b = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded_sharded(loaded, q, k=10).collect()]
         assert a == b and len(a) > 0, q
+
+
+def test_declared_field_also_copy_target_gap_parity(spark):
+    """A declared field that is ALSO a copy_to target keeps its direct
+    stream in position slot 0; copy sources start at (i+1)*COPY_GAP, so
+    the first copy source cannot share the direct stream's position
+    space (ADVICE r3: offset-0 collision caused false cross-stream
+    phrases, dl undercount, and a DF-vs-sharded tf divergence when both
+    streams emitted identical (term,pos) pairs)."""
+    # doc 0: direct 'all' text = "alpha beta", t1 copy = "beta gamma".
+    # Pre-fix, copy source 0 also sat at offset 0, so alpha@0(direct) +
+    # gamma@1(copy) formed a false phrase "alpha gamma".
+    # doc 1: direct ≡ copy token-for-token — pre-fix, identical
+    # (term,pos) pairs collapsed under count_distinct(pos).
+    df = spark.createDataFrame(
+        [(0, "beta gamma", "alpha beta"), (1, "x y", "x y")],
+        "doc_id long, t1 string, alltxt string",
+    )
+    fields = {"t1": "t1", "all": "alltxt"}
+    copy_to = {"t1": ["all"]}
+    fidx = FL.build_fielded_index(df, fields=fields, copy_to=copy_to)
+    sidx = FL.build_fielded_sharded(df, fields=fields, copy_to=copy_to, shard_size=4)
+
+    # no false phrase across direct/copy streams, on any tier
+    assert FL.bm25_topk_fielded(fidx, '"alpha gamma"', k=10).count() == 0
+    assert FL.bm25_topk_fielded_sharded(sidx, '"alpha gamma"', k=10).count() == 0
+    srv = FL.LocalFieldedSearcher.from_index(fidx)
+    assert srv.search('"alpha gamma"', k=10) == []
+    # real phrases inside one stream still match
+    for q in ['"alpha beta"', '"beta gamma"']:
+        assert {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, q, k=10).collect()} == {0}, q
+
+    # dl counts BOTH streams' slots: doc0 all = 2 direct + 2 copy = 4;
+    # doc1 all = 2 + 2 = 4 even though the token streams are identical
+    dl = {(r["doc_id"], r["field"]): r["dl"] for r in fidx.doclens.collect()}
+    assert dl[(0, "all")] == 4 and dl[(1, "all")] == 4
+    for f, (dc, avgdl) in fidx.stats.items():
+        assert sidx[f].n_docs == dc and abs(sidx[f].avgdl - avgdl) < 1e-12, f
+
+    # tf parity DF vs sharded on the identical-streams doc (term 'x':
+    # direct x@0 + copy x@COPY_GAP → tf=2 on both tiers) + score parity
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in fidx.postings.where(F.col("field") == "all").collect()
+    }
+    assert tf[(1, "x")] == 2 and tf[(0, "beta")] == 2
+    for q in ["x", "beta", "all:beta", '"x y"']:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=10).collect()]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()
+        ]
+        c = srv.search(q, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
+        for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
+            assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q

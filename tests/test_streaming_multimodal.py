@@ -398,3 +398,38 @@ def test_compact_deltas_code_analyzer_overlap_dl(spark, tmp_path):
         a = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(compacted, q, k=10).collect()]
         b = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(fresh, q, k=10).collect()]
         assert a == b, q
+
+
+def test_compact_deltas_rejects_mixed_formats(spark, tmp_path):
+    """ADVICE r3: a delta dir mixing dl-less legacy batches with
+    dl-carrying batches must fail fast (naming the legacy batches), not
+    silently drop dl or propagate null doclens — plain parquet reads
+    infer schema from one arbitrary footer, so the outcome was
+    footer-order-dependent before the mergeSchema + null-dl guard."""
+    import pytest
+
+    out = str(tmp_path / "postings")
+    # legacy batch 0: no dl column
+    spark.createDataFrame(
+        [(0, "alpha", 2, 0)], "doc_id long, term string, tf int, batch int"
+    ).write.mode("append").partitionBy("batch").parquet(out)
+    # current-format batch 1: carries dl
+    spark.createDataFrame(
+        [(1, "beta", 1, 3, 1)], "doc_id long, term string, tf int, dl long, batch int"
+    ).write.mode("append").partitionBy("batch").parquet(out)
+
+    with pytest.raises(ValueError, match=r"mixed delta formats.*\[0\]"):
+        ingest.read_postings_deltas(spark, out)
+
+    # a homogeneous dl-carrying dir still reads fine
+    out2 = str(tmp_path / "postings2")
+    spark.createDataFrame(
+        [(1, "beta", 1, 3, 1)], "doc_id long, term string, tf int, dl long, batch int"
+    ).write.mode("append").partitionBy("batch").parquet(out2)
+    assert ingest.read_postings_deltas(spark, out2).count() == 1
+    # and a homogeneous legacy dir routes to the legacy branch unharmed
+    out3 = str(tmp_path / "postings3")
+    spark.createDataFrame(
+        [(0, "alpha", 2, 0)], "doc_id long, term string, tf int, batch int"
+    ).write.mode("append").partitionBy("batch").parquet(out3)
+    assert "dl" not in ingest.read_postings_deltas(spark, out3).columns
