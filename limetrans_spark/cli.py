@@ -36,7 +36,7 @@ def _add_build(sub):
     p.add_argument("--name", default="code")
     p.add_argument("--generation", required=True, help="snapshot generation id (e.g. 20260816)")
     p.add_argument("--text-col", default="content")
-    p.add_argument("--analyzer", default="code", choices=["code", "simple", "simple_stem"])
+    p.add_argument("--analyzer", default="code", choices=["code", "simple", "simple_stem", "simple_stop"])
     p.add_argument("--shard-size", type=int, default=1 << 17)
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--wave-size", type=int, default=4)

@@ -55,6 +55,54 @@ def simple_tokenize_py(text: str) -> list[str]:
     return [t for t in re.split(SIMPLE_SPLIT_REGEX, text.lower()) if t]
 
 
+# --- stopword-filtering analyzer --------------------------------------------
+
+# The reference's default chain drops these 54 German/English stopwords
+# (``hbztitle-settings-v8.json:66-122``, the ``german_stop_words`` stop
+# filter).  Lucene stop-filter semantics: stopwords are removed but the
+# surviving tokens KEEP their original positions (enablePositionIncrements
+# — a phrase can't pretend the stopword wasn't there), and document
+# length counts only the surviving tokens.
+STOPWORDS = frozenset(
+    """and the of to als am an auf aus bei bis da das dass daß dem den der
+    des die dir du durch ein eine einem einen einer eines er es für hat
+    ihre im in ist mit nach nicht oder um und vom von vor was wie zu zum
+    zur über""".split()
+)
+
+
+def stop_tokens(col: Column) -> Column:
+    """``simple_tokens`` minus stopwords, positions preserved: array of
+    struct(term, pos) with the ORIGINAL position indices.  Pure JVM."""
+    arr = F.split(F.lower(col), SIMPLE_SPLIT_REGEX)
+    withpos = F.transform(
+        arr, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
+    )
+    return F.filter(
+        withpos,
+        lambda s: (s["term"] != F.lit("")) & ~s["term"].isin(*sorted(STOPWORDS)),
+    )
+
+
+def stop_tokenize_with_pos_py(text: str) -> list[tuple[str, int]]:
+    """Python twin of :func:`stop_tokens` (positions = pre-filter index).
+
+    NOTE: position indices here intentionally differ from
+    ``simple_tokenize_py`` enumeration — gaps remain where stopwords
+    were, so phrases across a removed stopword need slop."""
+    out = []
+    for i, t in enumerate(re.split(SIMPLE_SPLIT_REGEX, text.lower())):
+        if t and t not in STOPWORDS:
+            out.append((t, i))
+    return out
+
+
+def stop_query_tokenize_py(text: str) -> list[str]:
+    """Query-side twin for a ``simple_stop`` index: analyze then drop
+    stopwords (ES removes them from the query too)."""
+    return [t for t in simple_tokenize_py(text) if t not in STOPWORDS]
+
+
 # --- code-aware graph analyzer ----------------------------------------------
 
 # A raw token: letters/digits possibly glued by _ or - (hyphen_protect
@@ -161,6 +209,11 @@ def invert_py(text: str, analyzer: str = "code") -> tuple[int, list[tuple[str, i
             if st != t:
                 toks.append((st, i))
         dl = len(terms)
+    elif analyzer == "simple_stop":
+        # stop filter: stopwords removed, survivors keep their original
+        # positions (Lucene enablePositionIncrements), dl = survivor count
+        toks = stop_tokenize_with_pos_py(text)
+        dl = len(toks)
     else:
         terms = simple_tokenize_py(text)
         toks = list(zip(terms, range(len(terms))))

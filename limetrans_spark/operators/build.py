@@ -141,6 +141,17 @@ def tokenize(docs: DataFrame, text_col: str = "content", analyzer: str = "code")
             F.posexplode(simple_tokens(F.col(text_col))).alias("pos", "term"),
         )
         return toks.select("doc_id", "term", F.col("pos").cast("int"))
+    if analyzer == "simple_stop":
+        # stop filter (hbztitle-settings-v8.json:66-122): pure Catalyst,
+        # survivors keep pre-filter positions (phrase gaps stay real)
+        from ..functions.analysis import stop_tokens
+
+        toks = docs.select(
+            "doc_id", F.explode(stop_tokens(F.col(text_col))).alias("tok")
+        )
+        return toks.select(
+            "doc_id", F.col("tok.term").alias("term"), F.col("tok.pos").alias("pos")
+        )
     if analyzer == "simple_stem":
         # surface token + (if different) its Porter stem at one position
         from ..functions.stem import porter_stem

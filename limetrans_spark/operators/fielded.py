@@ -52,7 +52,11 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analysis import simple_tokenize_py, stemmed_query_tokenize_py
+from ..functions.analysis import (
+    simple_tokenize_py,
+    stemmed_query_tokenize_py,
+    stop_query_tokenize_py,
+)
 from .build import BM25_B, BM25_K1, tokenize
 from .query import (
     MAX_HITS,
@@ -71,6 +75,7 @@ COPY_GAP = 1_000_000  # position gap between copy_to sources
 _QUERY_ANALYZERS = {
     "simple": simple_tokenize_py,
     "simple_stem": stemmed_query_tokenize_py,
+    "simple_stop": stop_query_tokenize_py,
 }
 
 
@@ -247,7 +252,7 @@ def parse_fielded_query(
     analyzers = analyzers or {}
     out = ParsedQuery()
     pending_or = False
-    token_re = re.compile(r"-?(?:[A-Za-z_][\w.]*:)?\"[^\"]*\"|\||\S+")
+    token_re = re.compile(r"-?(?:[A-Za-z_][\w.]*:)?\"[^\"]*\"(?:~\d+)?|\||\S+")
     for m in token_re.finditer(q):
         tok = m.group(0)
         if tok == "|":
@@ -315,12 +320,34 @@ def _expand_fuzzy_fielded(index: FieldedIndex, fname: str, term: str, fuzz: int)
     return sorted(r["term"] for r in rows)
 
 
-def _phrase_docs_fielded(p: DataFrame, terms: tuple[str, ...]) -> DataFrame:
-    """True positional phrase inside one field: iterative position-
-    intersection joins over the materialized ``positions`` arrays —
-    entirely JVM-side (array_intersect / transform), one equi-join on
-    doc_id per phrase term.  COPY_GAP offsets make cross-source phrases
-    unsatisfiable in copy_to targets by construction."""
+def _phrase_docs_fielded(
+    p: DataFrame, terms: tuple[str, ...], slop: int = 0
+) -> DataFrame:
+    """True positional phrase inside one field: iterative position joins
+    over the materialized ``positions`` arrays — entirely JVM-side
+    (array_intersect / transform; the :func:`query._sloppy_step` DP for
+    ``slop > 0``), one equi-join on doc_id per phrase term.  COPY_GAP
+    offsets make cross-source phrases unsatisfiable in copy_to targets
+    by construction (slop budgets ≪ COPY_GAP can't bridge the gap)."""
+    from .query import _sloppy_init, _sloppy_step
+
+    if slop > 0:
+        cur = p.filter(F.col("term") == terms[0]).select(
+            "doc_id", _sloppy_init(F.col("positions")).alias("st")
+        )
+        for t in terms[1:]:
+            nxt = p.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias("pos")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    _sloppy_step(F.col("st"), F.col("pos"), slop).alias("st"),
+                )
+                .filter(F.size("st") > 0)
+            )
+        return cur.select("doc_id").distinct()
     cur = p.filter(F.col("term") == terms[0]).select(
         "doc_id", F.col("positions").alias("ends")
     )
@@ -363,7 +390,7 @@ def _clause_docs(index: FieldedIndex, c: Clause, fname: str) -> DataFrame:
             raise ValueError(
                 "fielded phrase queries require an index built with_positions=True"
             )
-        return _phrase_docs_fielded(p, c.terms)
+        return _phrase_docs_fielded(p, c.terms, slop=c.slop)
     raise ValueError(f"fielded path does not support clause kind {c.kind!r}")
 
 
@@ -564,8 +591,12 @@ class LocalFieldedSearcher:
 
     # -- matching -----------------------------------------------------------
 
-    def _phrase_docset(self, fname: str, terms: tuple[str, ...]) -> set[int]:
+    def _phrase_docset(
+        self, fname: str, terms: tuple[str, ...], slop: int = 0
+    ) -> set[int]:
         import numpy as np
+
+        from .query import _sloppy_match_np
 
         pls = [self._plists.get((fname, t)) for t in terms]
         if any(p is None for p in pls):
@@ -579,6 +610,11 @@ class LocalFieldedSearcher:
             cand = np.intersect1d(cand, p[0], assume_unique=True)
         out: set[int] = set()
         for doc in cand:
+            if slop > 0:
+                pos_lists = [p[2][int(np.searchsorted(p[0], doc))] for p in pls]
+                if _sloppy_match_np(pos_lists, slop):
+                    out.add(int(doc))
+                continue
             ends = None
             ok = True
             for p in pls:
@@ -604,7 +640,7 @@ class LocalFieldedSearcher:
                     out.update(pl[0].tolist())
             return out
         if c.kind == "phrase":
-            return self._phrase_docset(fname, c.terms)
+            return self._phrase_docset(fname, c.terms, slop=c.slop)
         raise ValueError(f"fielded serving does not support clause kind {c.kind!r}")
 
     def search(

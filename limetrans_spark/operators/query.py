@@ -81,6 +81,7 @@ class Clause:
     negated: bool = False
     fuzz: int = 0  # max edit distance for kind == "fuzzy"
     field_name: str | None = None  # set by the fielded parser; None = default field
+    slop: int = 0  # phrase slop: total extra-gap budget for kind == "phrase"
 
 
 @dataclass
@@ -99,15 +100,16 @@ class ParsedQuery:
         return sorted(set(out))
 
 
-_QTOKEN = re.compile(r"-?\"[^\"]*\"|\||\S+")
+_QTOKEN = re.compile(r"-?\"[^\"]*\"(?:~\d+)?|\||\S+")
 _FUZZY = re.compile(r"^(.*)~(\d)$")
+_PHRASE_TOK = re.compile(r"^\"([^\"]*)\"(?:~(\d+))?$")
 
 
 def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
     """simple_query_string subset: whitespace = AND, ``|`` = OR,
-    ``-x`` = NOT, ``"a b"`` = phrase, ``t*`` = prefix, ``t~N`` = fuzzy
-    (the reference enables OR|NOT|PREFIX|PHRASE|FUZZY|…,
-    ElasticsearchQueryTest.java:53)."""
+    ``-x`` = NOT, ``"a b"`` = phrase, ``"a b"~N`` = sloppy phrase (NEAR),
+    ``t*`` = prefix, ``t~N`` = fuzzy (the reference enables
+    OR|NOT|PREFIX|PHRASE|NEAR|FUZZY|…, ElasticsearchQueryTest.java:53)."""
     pq = ParsedQuery()
     pending_or = False
     for m in _QTOKEN.finditer(q):
@@ -119,9 +121,10 @@ def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
         if negated:
             tok = tok[1:]
         fz = _FUZZY.match(tok)
-        if tok.startswith('"') and tok.endswith('"'):
-            terms = tuple(analyze(tok[1:-1]))
-            clause = Clause("phrase", terms, negated)
+        pm = _PHRASE_TOK.match(tok)
+        if pm:
+            terms = tuple(analyze(pm.group(1)))
+            clause = Clause("phrase", terms, negated, slop=int(pm.group(2) or 0))
         elif tok.endswith("*"):
             stem = analyze(tok[:-1])
             clause = Clause("prefix", tuple(stem[-1:]), negated)
@@ -191,15 +194,95 @@ def _idf_table(index: BuiltIndex, qterms: list[str]) -> DataFrame:
     )
 
 
-def phrase_match_df(postings: DataFrame, terms: tuple[str, ...]) -> DataFrame:
-    """→ doc_ids where ``terms`` occur at consecutive positions.
+def _sloppy_init(pos_col):
+    """Initial slop-DP state from the first phrase term's positions:
+    struct(p = position, v = p − used_slack) with used_slack = 0."""
+    return F.transform(pos_col, lambda x: F.struct(x.alias("p"), x.alias("v")))
 
-    Iterative position-intersection join, entirely JVM-side: carry the
-    set of feasible end-positions forward, one equi-join on doc_id per
-    phrase term.  Requires postings built ``with_positions``.
+
+def _sloppy_step(cur_col, pos_col, slop: int):
+    """One phrase-term transition of the ordered-slop DP, JVM-side.
+
+    Invariant: a state ``(p, v)`` means the phrase prefix can end at
+    position ``p`` having consumed ``p − v`` of the slop budget (``v =
+    p − used``).  The best next state at position ``x`` extends the
+    predecessor with maximal ``v`` among states at ``p < x`` (strictly
+    increasing positions, so an occurrence is never reused), giving
+    ``v' = max_v + 1`` and feasibility ``x − v' ≤ slop``.  With
+    ``slop = 0`` this degenerates to exact adjacency.  O(|cur|·|pos|)
+    array ops per (doc, term) — all inside whole-stage codegen."""
+
+    def nxt(x):
+        best = F.array_max(
+            F.transform(F.filter(cur_col, lambda s: s["p"] < x), lambda s: s["v"])
+        )
+        return F.struct(x.alias("p"), (best + F.lit(1)).alias("v"))
+
+    cand = F.transform(pos_col, nxt)
+    return F.filter(
+        cand, lambda s: s["v"].isNotNull() & ((s["p"] - s["v"]) <= F.lit(int(slop)))
+    )
+
+
+def _sloppy_match_np(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """NumPy twin of :func:`_sloppy_step` for the shard/serving scorers:
+    True iff an order-preserving occurrence selection exists with total
+    extra gap ≤ ``slop`` (i.e. span ≤ k−1+slop).  Same DP, vectorized:
+    ``v = p − used``; the best predecessor for each next position is a
+    prefix-running-max + searchsorted over the (sorted) position arrays.
+
+    Deliberate deviation from Lucene's SloppyPhraseScorer, documented:
+    out-of-order matches (ES allows ``"a b"~2`` to match ``b a``) are
+    excluded — matches are strictly order-preserving on every tier, and
+    the SQL/regex oracle mirrors exactly that."""
+    prev = pos_lists[0].astype(np.int64)
+    v = prev.copy()
+    for pos in pos_lists[1:]:
+        if prev.size == 0:
+            return False
+        pref = np.maximum.accumulate(v)
+        idx = np.searchsorted(prev, pos, side="left")  # #prev strictly < x
+        ok = idx > 0
+        x = pos[ok].astype(np.int64)
+        nv = pref[idx[ok] - 1] + 1
+        keep = (x - nv) <= slop
+        prev, v = x[keep], nv[keep]
+    return prev.size > 0
+
+
+def phrase_match_df(
+    postings: DataFrame, terms: tuple[str, ...], slop: int = 0
+) -> DataFrame:
+    """→ doc_ids where ``terms`` occur at consecutive positions
+    (``slop = 0``) or within an order-preserving window of total extra
+    gap ≤ ``slop`` (``"a b"~N`` NEAR semantics).
+
+    Iterative position joins, entirely JVM-side: ``slop = 0`` carries
+    the set of feasible end-positions forward (array_intersect);
+    ``slop > 0`` carries the :func:`_sloppy_step` DP states.  One
+    equi-join on doc_id per phrase term either way.  Requires postings
+    built ``with_positions``.
     """
     assert terms, "empty phrase"
     pos_col = _pos_decode_udf(F.col("pos_blob"), F.col("tf"))
+    if slop > 0:
+        cur = (
+            postings.filter(F.col("term") == terms[0])
+            .select("doc_id", _sloppy_init(pos_col).alias("st"))
+        )
+        for t in terms[1:]:
+            nxt = postings.filter(F.col("term") == t).select(
+                "doc_id", pos_col.alias("pos")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    _sloppy_step(F.col("st"), F.col("pos"), slop).alias("st"),
+                )
+                .filter(F.size("st") > 0)
+            )
+        return cur.select("doc_id").distinct()
     cur = (
         postings.filter(F.col("term") == terms[0])
         .select("doc_id", pos_col.alias("ends"))
@@ -227,7 +310,7 @@ def _clause_docs_df(index: BuiltIndex, clause: Clause) -> DataFrame:
     if clause.kind == "term":
         return p.filter(F.col("term") == clause.terms[0]).select("doc_id").distinct()
     if clause.kind == "phrase":
-        return phrase_match_df(p, clause.terms)
+        return phrase_match_df(p, clause.terms, slop=clause.slop)
     if clause.kind in ("prefix", "fuzzy"):
         expanded = (
             _expand_prefix(index, clause.terms[0])
@@ -555,8 +638,11 @@ def _wand_topk(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float
     )
 
 
-def _phrase_docs_shard(plists: dict, terms: tuple[str, ...], base: int) -> np.ndarray:
-    """Positional phrase intersection inside one shard → matching doc_ids.
+def _phrase_docs_shard(
+    plists: dict, terms: tuple[str, ...], base: int, slop: int = 0
+) -> np.ndarray:
+    """Positional phrase intersection inside one shard → matching doc_ids
+    (``slop > 0`` → ordered NEAR via :func:`_sloppy_match_np`).
 
     Positions are decoded lazily from the phrase terms' blobs only for
     docs surviving the doc-level intersection."""
@@ -575,6 +661,15 @@ def _phrase_docs_shard(plists: dict, terms: tuple[str, ...], base: int) -> np.nd
         pos_by_term[t] = codec.decode_positions(pl["pos_blob"], pl["tfs"])
     out = []
     for doc in cand:
+        if slop > 0:
+            pos_lists = []
+            for t in terms:
+                pl = plists[t]
+                j = int(np.searchsorted(pl["docs"], doc))
+                pos_lists.append(pos_by_term[t][j])
+            if _sloppy_match_np(pos_lists, slop):
+                out.append(int(doc))
+            continue
         ends = None
         ok = True
         for i, t in enumerate(terms):
@@ -601,7 +696,7 @@ def _clause_docs_shard(plists: dict, clause: Clause, expansions: dict, base: int
         t = clause.terms[0]
         return plists[t]["docs"] if t in plists else np.zeros(0, dtype=np.int64)
     if clause.kind == "phrase":
-        return _phrase_docs_shard(plists, clause.terms, base)
+        return _phrase_docs_shard(plists, clause.terms, base, slop=clause.slop)
     # prefix/fuzzy: pre-expanded driver-side
     sets = [plists[t]["docs"] for t in expansions.get(_clause_key(clause), []) if t in plists]
     if not sets:

@@ -99,6 +99,29 @@ class OracleIndex:
                 out.add(d)
         return out
 
+    def sloppy_phrase_docs(self, terms: list[str], slop: int) -> set[int]:
+        """Order-preserving occurrence selection with total extra gap ≤
+        ``slop`` — brute-force DFS over position combinations, deliberately
+        independent of the engine's prefix-max DP."""
+        out = set()
+        cands = set.intersection(*(self.docs_with(t) for t in terms)) if terms else set()
+        for d in cands:
+            pos_lists = [self.pos[t][d] for t in terms]
+
+            def ok(i: int, prev: int, used: int) -> bool:
+                if i == len(pos_lists):
+                    return True
+                return any(
+                    p > prev
+                    and used + (p - prev - 1) <= slop
+                    and ok(i + 1, p, used + (p - prev - 1))
+                    for p in pos_lists[i]
+                )
+
+            if any(ok(1, p, 0) for p in pos_lists[0]):
+                out.add(d)
+        return out
+
     def topk(self, terms: list[str], k: int, operator: str = "and",
              candidates: set[int] | None = None) -> list[tuple[int, float]]:
         terms = sorted(set(terms))

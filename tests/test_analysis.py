@@ -155,3 +155,73 @@ def test_porter_published_vectors():
         "controll": "control", "roll": "roll",
     }
     assert {k: p(k) for k in vecs} == vecs
+
+
+def test_simple_stop_analyzer(spark):
+    """Stop filter (german_stop_words, hbztitle-settings-v8.json:66-122):
+    stopwords removed, survivors keep their pre-filter positions (Lucene
+    enablePositionIncrements), dl = survivor count; Spark ≡ Python twin;
+    query twin drops stopwords too."""
+    from limetrans_spark.functions.analysis import (
+        STOPWORDS,
+        stop_query_tokenize_py,
+        stop_tokenize_with_pos_py,
+    )
+    from limetrans_spark.operators.build import build_index, tokenize
+
+    texts = [
+        (0, "Die Katze und der Hund"),
+        (1, "hash join of the century"),
+        (2, "und der die das"),  # all stopwords
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, content string")
+    got = sorted(
+        (r["doc_id"], r["term"], r["pos"])
+        for r in tokenize(df, "content", "simple_stop").collect()
+    )
+    want = sorted(
+        (i, t, p) for i, text in texts for t, p in stop_tokenize_with_pos_py(text)
+    )
+    assert got == want
+    # positions keep the gap where the stopwords were
+    assert (0, "katze", 1) in got and (0, "hund", 4) in got
+    assert not [g for g in got if g[0] == 2]
+    # 52 entries in the reference's german_stop_words list
+    assert "und" in STOPWORDS and "the" in STOPWORDS and len(STOPWORDS) == 52
+    assert stop_query_tokenize_py("die Katze UND hund") == ["katze", "hund"]
+    idx = build_index(df, text_col="content", analyzer="simple_stop", shard_size=4)
+    dl = {r["doc_id"]: r["dl"] for r in idx.doclens.collect()}
+    assert dl[0] == 2 and dl[1] == 3
+    # phrase across a removed stopword is NOT adjacent — needs slop
+    from limetrans_spark.operators import query as Q
+    from limetrans_spark.operators.query import parse_query
+
+    pq0 = parse_query('"katze hund"', analyze=stop_query_tokenize_py)
+    assert {r["doc_id"] for r in Q.matching_docs_df(idx, pq0).collect()} == set()
+    pq2 = parse_query('"katze hund"~2', analyze=stop_query_tokenize_py)
+    assert {r["doc_id"] for r in Q.matching_docs_df(idx, pq2).collect()} == {0}
+
+
+def test_simple_stop_fielded_tier(spark):
+    """A simple_stop field analyzes its query terms with the stop twin;
+    stopword-only clauses vanish (ES stop-filter leniency)."""
+    from limetrans_spark.operators import fielded as FL
+
+    df = spark.createDataFrame(
+        [(0, "die schnelle Katze"), (1, "ein Hund und eine Katze")],
+        "doc_id long, title string",
+    )
+    fidx = FL.build_fielded_index(df, fields={"title": ("title", "simple_stop")})
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, "title:katze", k=10, default_field="title").collect()
+    }
+    assert hits == {0, 1}
+    # stopword in the query is dropped by the query-side twin
+    hits = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(
+            fidx, "title:hund title:und", k=10, default_field="title"
+        ).collect()
+    }
+    assert hits == {1}

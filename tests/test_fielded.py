@@ -479,3 +479,42 @@ def test_declared_field_also_copy_target_gap_parity(spark):
         assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
         for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
             assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q
+
+
+def test_fielded_phrase_slop_three_tiers(spark):
+    """'field:"a b"~N' sloppy phrase on the fielded DF, serving, and
+    sharded tiers: same docs, same scores; slop can't bridge the
+    COPY_GAP between copy_to source streams."""
+    df = spark.createDataFrame(
+        [
+            (0, "hash join strategies", "x"),
+            (1, "hash fast join", "y"),          # gap 1
+            (2, "hash one two join", "z"),       # gap 2
+            (3, "join before hash", "w"),        # wrong order
+        ],
+        "doc_id long, title string, kw string",
+    )
+    fields = {"title": "title", "kw": "kw"}
+    fidx = FL.build_fielded_index(df, fields=fields, copy_to={"title": ["all"], "kw": ["all"]})
+    sidx = FL.build_fielded_sharded(df, fields=fields, copy_to={"title": ["all"], "kw": ["all"]}, shard_size=4)
+    srv = FL.LocalFieldedSearcher.from_index(fidx)
+    want = {
+        'title:"hash join"': {0},
+        'title:"hash join"~1': {0, 1},
+        'title:"hash join"~2': {0, 1, 2},
+        'title:"hash join"~9': {0, 1, 2},  # never out-of-order
+        '"hash join"~2': {0, 1, 2},        # default (copy_to) field
+        # slop can't straddle the title|kw COPY_GAP: 'join x' only via gap
+        '"join x"~5': set(),
+    }
+    for q, exp in want.items():
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=10).collect()]
+        b = srv.search(q, k=10)
+        c = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=10).collect()
+        ]
+        assert {d for d, _ in a} == exp, q
+        assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
+        for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
+            assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q

@@ -228,3 +228,61 @@ def test_default_operator_consistent_across_paths(index):
         assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
         for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
             assert abs(sa - sb) < ATOL and abs(sa - sc) < ATOL, q
+
+
+def test_phrase_slop_matches_bruteforce_oracle(index, oracle):
+    """NEAR semantics ('"a b"~N', ElasticsearchQueryTest.java:53): the
+    engine's prefix-max DP vs the oracle's independent brute-force DFS,
+    on all three tiers.  Matches are order-preserving with total extra
+    gap ≤ N (documented deviation: Lucene's out-of-order moves are
+    excluded on every tier and in the oracle alike)."""
+    from limetrans_spark.operators.serve import LocalSearcher
+
+    searcher = LocalSearcher.from_index(index)
+    cases = [
+        (("applicable", "law"), 0),
+        (("applicable", "law"), 2),
+        (("parse", "json"), 1),
+        (("parse", "json"), 3),
+        (("tokenize", "score"), 2),
+        (("if", "return"), 1),
+        (("parse", "json", "fast"), 2),
+    ]
+    for terms, slop in cases:
+        qs = '"' + " ".join(terms) + f'"~{slop}'
+        want = oracle.sloppy_phrase_docs(list(terms), slop)
+        got_df = {r["doc_id"] for r in Q.matching_docs_df(index, qs).collect()}
+        assert got_df == want, (qs, "df")
+        got_sh = {
+            r["doc_id"] for r in Q.bm25_topk_sharded(index, qs, k=1000).collect()
+        }
+        assert got_sh == want, (qs, "sharded")
+        got_sv = {d for d, _ in searcher.search(qs, k=1000)}
+        assert got_sv == want, (qs, "serving")
+
+
+def test_phrase_slop_monotone_and_zero_equals_exact(index, oracle):
+    """slop=0 ≡ the exact-adjacency path; doc sets grow monotonically in
+    slop; and a slop window wide enough to cover the doc's length admits
+    every co-occurrence pair."""
+    for terms in [("applicable", "law"), ("parse", "json")]:
+        lterms = list(terms)
+        base = '"' + " ".join(terms) + '"'
+        exact = {r["doc_id"] for r in Q.matching_docs_df(index, base).collect()}
+        s0 = {r["doc_id"] for r in Q.matching_docs_df(index, base + "~0").collect()}
+        assert s0 == exact == oracle.phrase_docs(lterms)
+        prev = s0
+        for slop in (1, 2, 5):
+            cur = {
+                r["doc_id"]
+                for r in Q.matching_docs_df(index, base + f"~{slop}").collect()
+            }
+            assert prev <= cur, slop
+            prev = cur
+    # slop in a boolean composition: sloppy phrase AND a term, negated sloppy
+    got = {
+        r["doc_id"]
+        for r in Q.matching_docs_df(index, '"parse json"~2 -license').collect()
+    }
+    want = oracle.sloppy_phrase_docs(["parse", "json"], 2) - oracle.docs_with("license")
+    assert got == want
