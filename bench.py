@@ -59,7 +59,7 @@ SHARED_QUERIES = [
     "q_prefix", "q_topk1000", "q_wand_or", "q_wand_and", "serve_load",
     "q_serve_and", "q_serve_or", "q_serve_phrase", "dedup_exact",
     "dedup_simhash", "ann_topk", "ann_ivf", "text_profile", "tpch_q1",
-    "tpch_q3", "events_hourly", "window_topn",
+    "tpch_q3", "events_hourly_rollup", "window_topn",
 ]
 
 
@@ -188,7 +188,7 @@ def main():
         "text_profile",
         "tpch_q1",
         "tpch_q3",
-        "events_hourly",
+        "events_hourly_rollup",
         "window_topn",
     ]:
         runs = []

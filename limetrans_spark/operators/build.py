@@ -274,9 +274,14 @@ def explode_postings(inverted: DataFrame, keep_dl: bool = False) -> DataFrame:
 
 
 def doc_lengths(tokens: DataFrame) -> DataFrame:
-    """doc_id → dl. Graph overlap tokens (posInc 0) are discounted:
-    dl = (#distinct position slots) = max(pos)+1 counted via max."""
-    return tokens.groupBy("doc_id").agg((F.max("pos") + 1).cast("long").alias("dl"))
+    """doc_id → dl = #distinct position slots: graph overlap tokens
+    (posInc 0) are discounted AND stop-filter gaps don't count (Lucene
+    length norm = tokens emitted by the chain).  ``max(pos)+1`` would be
+    cheaper but overcounts under ``simple_stop``, whose survivors keep
+    their pre-filter positions."""
+    return tokens.groupBy("doc_id").agg(
+        F.count_distinct("pos").cast("long").alias("dl")
+    )
 
 
 def doc_lengths_from_postings(postings: DataFrame) -> DataFrame:

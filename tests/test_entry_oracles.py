@@ -19,7 +19,10 @@ SUBSET = [
     "ft_df",
     "ft_bm25_topk",
     "ft_phrase",
-    "ft_not",
+    "ft_boolean",
+    "ft_phrase_slop",
+    "ft_stopword",
+    "nested_record_json",
     "dedup_exact",
     "dedup_minhash",
     "ann_topk",
