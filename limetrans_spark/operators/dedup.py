@@ -101,12 +101,11 @@ def jaccard_pairs(
     the token join quadratic in the corpus.  Tokens with df >
     ``max_token_df`` are dropped from BOTH the join and the set sizes
     (Jaccard over the pruned token sets — the standard stop-token
-    semantics); the pruned-term count is logged, never silent.  At 100 TB
-    always set a ceiling; ``None`` opts into exact Jaccard.  The default
-    ``"auto"`` keeps single-token mode exact but applies
-    ``max(16, n_docs // 20)`` in shingle mode (``ngram > 1``), where
-    repeated boilerplate shingles are precisely the high-DF features
-    that go quadratic.
+    semantics); when auto-pruning fires it is logged at WARNING, never
+    silent.  The default ``"auto"`` applies ``max(16, n_docs // 20)`` in
+    EVERY mode — at 100 TB a caller who forgets the ceiling must not get
+    the quadratic hot-token join by default; ``None`` opts into exact
+    Jaccard explicitly.
 
     ``prefix_filter=True`` switches candidate generation to the SSJoin/
     PPJoin prefix filter: under a global rarest-first token order
@@ -123,17 +122,27 @@ def jaccard_pairs(
     that cache — ``.unpersist()`` when done); every intermediate cache is
     released here.
     """
-    if max_token_df == "auto":
-        max_token_df = max(16, df.count() // 20) if ngram > 1 else None
+    auto = max_token_df == "auto"
+    if auto:
+        max_token_df = max(16, df.count() // 20)
     toks_all = _token_sets(df, text_col, id_col, ngram).persist()
     toks = toks_all
     if max_token_df is not None:
         dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
         keep = dfreq.filter(F.col("df") <= max_token_df).select("term")
         n_pruned = dfreq.filter(F.col("df") > max_token_df).count()
-        _LOG.info(
-            "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
-        )
+        if auto and n_pruned:
+            _LOG.warning(
+                "jaccard_pairs: auto df-ceiling pruned %d tokens with df > %d "
+                "(Jaccard is over the pruned sets; pass max_token_df=None for "
+                "exact Jaccard)",
+                n_pruned,
+                max_token_df,
+            )
+        else:
+            _LOG.info(
+                "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
+            )
         if n_pruned:  # no victims → skip the semi-join stage entirely
             toks = toks_all.join(keep, "term", "left_semi")
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))

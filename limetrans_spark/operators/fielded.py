@@ -376,12 +376,18 @@ def _fielded_expansions(index: FieldedIndex, c: Clause, fname: str) -> list[str]
     return None
 
 
-def _clause_docs(index: FieldedIndex, c: Clause, fname: str) -> DataFrame:
+def _clause_docs(
+    index: FieldedIndex, c: Clause, fname: str, expanded: list[str] | None = None
+) -> DataFrame:
+    """``expanded``: the clause's pre-computed dictionary expansion (so a
+    caller that already expanded for scoring doesn't run the driver-side
+    dictionary scan a second time)."""
     p = index.postings.filter(F.col("field") == fname)
     if c.kind == "term":
         return p.filter(F.col("term") == c.terms[0]).select("doc_id")
     if c.kind in ("prefix", "fuzzy"):
-        expanded = _fielded_expansions(index, c, fname)
+        if expanded is None:
+            expanded = _fielded_expansions(index, c, fname)
         if not expanded:
             return p.sparkSession.createDataFrame([], "doc_id long")
         return p.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
@@ -425,19 +431,32 @@ def bm25_topk_fielded(
     cur: DataFrame | None = None
     negatives = []
     score_pairs: set[tuple[str, str]] = set()
+    # one dictionary expansion per distinct (field, kind, terms, fuzz) —
+    # shared between scoring and boolean membership (and across repeated
+    # clauses), like LocalFieldedSearcher's expansions dict
+    expansions: dict[tuple, list[str]] = {}
+
+    def _expd(c: Clause, fname: str) -> list[str] | None:
+        if c.kind not in ("prefix", "fuzzy"):
+            return None
+        key = (fname, c.kind, c.terms, c.fuzz)
+        if key not in expansions:
+            expansions[key] = _fielded_expansions(index, c, fname) or []
+        return expansions[key]
+
     for group in pq.groups:
         gdocs = None
         for c in group:
             fname = _clause_field(c, default_field)
             if c.negated:
-                negatives.append(_clause_docs(index, c, fname))
+                negatives.append(_clause_docs(index, c, fname, _expd(c, fname)))
                 continue
-            expd = _fielded_expansions(index, c, fname)
+            expd = _expd(c, fname)
             if expd is not None:
                 score_pairs.update((fname, t) for t in expd)
             else:
                 score_pairs.update((fname, t) for t in c.terms)
-            d = _clause_docs(index, c, fname)
+            d = _clause_docs(index, c, fname, expd)
             gdocs = d if gdocs is None else gdocs.union(d).distinct()
         if gdocs is not None:
             cur = gdocs if cur is None else cur.join(gdocs, "doc_id", "left_semi")
@@ -552,6 +571,18 @@ class LocalFieldedSearcher:
         self._dl: dict[tuple[int, str], float] = {
             (int(r["doc_id"]), r["field"]): float(r["dl"]) for r in doclens_rows
         }
+        # per-field (sorted doc ids, aligned dl values) for vectorized
+        # scoring lookups (searchsorted instead of per-posting dict gets)
+        by_f: dict[str, list[tuple[int, float]]] = {}
+        for (doc, f), v in self._dl.items():
+            by_f.setdefault(f, []).append((doc, v))
+        self._dl_arr: dict[str, tuple] = {}
+        for f, pairs in by_f.items():
+            pairs.sort()
+            self._dl_arr[f] = (
+                np.asarray([d for d, _ in pairs], dtype=np.int64),
+                np.asarray([v for _, v in pairs], dtype=np.float64),
+            )
         self._all_docs = sorted(all_docs)
 
     @classmethod
@@ -684,21 +715,46 @@ class LocalFieldedSearcher:
             cur -= n
         if not score_pairs:
             return [(d, 0.0) for d in sorted(cur)[:k]]
-        scores: dict[int, float] = {}
-        for fname, term in sorted(score_pairs):  # sorted-pair float order
+        import numpy as np
+
+        cand = np.fromiter(cur, dtype=np.int64, count=len(cur))
+        cand.sort()
+        if cand.size == 0:
+            return []
+        # vectorized TAAT over the candidate set (the NumPy shape of
+        # LocalSearcher._taat_scores): one searchsorted membership test +
+        # one fused contribution add per (field, term), iterated in
+        # sorted-pair order so per-doc float sums accumulate in exactly
+        # the DataFrame tier's order (bit-identical ranks)
+        scores_vec = np.zeros(cand.size, dtype=np.float64)
+        touched = np.zeros(cand.size, dtype=bool)
+        for fname, term in sorted(score_pairs):
             pl = self._plists.get((fname, term))
             if pl is None or fname not in self.stats:
                 continue
             dc, avgdl = self.stats[fname]
             idf = bm25_idf(dc, int(pl[0].size))
-            for doc, tf in zip(pl[0].tolist(), pl[1].tolist()):
-                if doc not in cur:
-                    continue
-                dl = self._dl.get((doc, fname), 0.0)
-                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-                scores[doc] = scores.get(doc, 0.0) + idf * tf * (BM25_K1 + 1.0) / (tf + norm)
-        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
-        return [(d, s) for d, s in ranked]
+            docs, tfs = pl[0], pl[1]
+            pos = np.minimum(np.searchsorted(cand, docs), cand.size - 1)
+            ok = cand[pos] == docs
+            if not ok.any():
+                continue
+            idx = pos[ok]
+            tf = tfs[ok]
+            fd_docs, fd_vals = self._dl_arr.get(
+                fname, (np.zeros(0, dtype=np.int64), np.zeros(0))
+            )
+            if fd_docs.size:
+                dpos = np.minimum(np.searchsorted(fd_docs, docs[ok]), fd_docs.size - 1)
+                dl = np.where(fd_docs[dpos] == docs[ok], fd_vals[dpos], 0.0)
+            else:
+                dl = np.zeros(idx.size)
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            scores_vec[idx] += idf * tf * (BM25_K1 + 1.0) / (tf + norm)
+            touched[idx] = True
+        sel = np.nonzero(touched)[0]
+        order = np.lexsort((cand[sel], -scores_vec[sel]))[:k]
+        return [(int(cand[sel][i]), float(scores_vec[sel][i])) for i in order]
 
 
 # --------------------------------------------------------------------------

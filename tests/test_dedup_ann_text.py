@@ -326,3 +326,31 @@ def test_near_dup_clusters(spark):
     cids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
     with pytest.raises(RuntimeError, match="converge"):
         dedup.near_dup_clusters(chain, cids, max_iter=1)
+
+
+def test_jaccard_unigram_auto_ceiling(spark):
+    """Round-4 default change: 'auto' applies max(16, n//20) in EVERY
+    mode (unigram included) — a hot token above the ceiling leaves the
+    join, and Jaccard is over the pruned sets, mirrored here by a pure-
+    Python oracle. Exactness now needs an explicit max_token_df=None."""
+    n = 400
+    # every doc shares the hot token 'common' (df=400 > ceiling=20);
+    # pairs (2i, 2i+1) share a rare token pair
+    rows = [
+        (i, f"common w{i // 2}a w{i // 2}b u{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_pairs(df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    out.unpersist()
+    # oracle: pruned sets are {wKa, wKb, uI} → each (2k, 2k+1) pair has
+    # |A∩B|=2, |A∪B|=4 → J=0.5; nothing else shares ≥ half
+    want = {(2 * k, 2 * k + 1): 0.5 for k in range(n // 2)}
+    assert got == want
+    # exact opt-in: the hot token re-enters every set, J = 3/5 < ... no:
+    # sets are {common, wKa, wKb, uI}: inter=3, union=5 → 0.6 ≥ 0.5
+    out2 = dedup.jaccard_pairs(df, threshold=0.5, max_token_df=None)
+    got2 = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out2.collect()}
+    out2.unpersist()
+    assert got2 == {(2 * k, 2 * k + 1): 0.6 for k in range(n // 2)}
