@@ -714,20 +714,26 @@ def build_index(
     if docs.rdd.getNumPartitions() * 2 <= spread:
         docs = docs.repartition(spread)
 
-    # docstore columns ride through the inverter (Arrow pass-through) so
-    # the docstore is a projection of the inverted cache — no corpus-wide
-    # doc_id re-join after the build
-    passthrough = tuple(c for c in docs.columns if c != "doc_id")
-    inverted = invert_docs(docs, text_col, analyzer, passthrough=passthrough).persist()
-    postings = explode_postings(inverted)
+    # CONTENT-FREE build cache (round-4): only (doc_id, dl, postings) is
+    # persisted — everything the postings/terms/shards/stats derivations
+    # touch — so peak storage memory scales with the index, not with the
+    # corpus' content bytes (at 100 TB the old passthrough cache pinned
+    # ~the corpus to memory-and-disk).  The docstore is a lazy view over
+    # the INPUT frame (content columns + dl): never cached here; point
+    # lookups push the doc_id predicate into the source scan, and the
+    # at-scale path reads the docstore parquet a publish wrote once
+    # (plans/lifecycle.save_index / build_and_publish).
+    inverted = invert_docs(docs, text_col, analyzer)
+    lean = inverted.select("doc_id", "dl", "postings").persist()
+    postings = explode_postings(lean)
     if not with_positions:
         postings = postings.drop("pos_blob")
     # stats over docs that contain ≥1 token (Lucene field docCount)
-    doclens = inverted.filter(F.col("dl") > 0).select("doc_id", "dl").persist()
+    doclens = lean.filter(F.col("dl") > 0).select("doc_id", "dl").persist()
     n_docs, avgdl = corpus_stats(doclens)
     terms = term_stats(postings)
     shards = build_shards(postings, shard_size=shard_size)
-    docstore = inverted.drop("postings")
+    docstore = docs.join(doclens, "doc_id", "left").fillna({"dl": 0})
 
     metrics = {
         "n_docs": n_docs,

@@ -433,6 +433,15 @@ def build_and_publish(
         idx, root, name, generation, retain=retain,
         extra_metrics={**ck_metrics, "build_sec": round(time.time() - t_start, 3)},
     )
+    # the docstore parquet is on disk now — release the content-carrying
+    # corpus cache and serve further docstore reads (getDocument point
+    # lookups) from the published artifact with pushed-down predicates;
+    # storage memory stops scaling with content bytes the moment the
+    # build completes
+    dstore = os.path.join(snap, "docstore")
+    if os.path.isdir(dstore):
+        docs.unpersist()
+        idx.docstore = corpus.sparkSession.read.parquet(dstore)
     return BuildReport(index=idx, snapshot=snap, metrics=ck_metrics)
 
 

@@ -193,3 +193,44 @@ def test_invert_token_stream_positions_and_dl(spark):
             codec.varint_decode(bytes(by_key[(doc, "alpha")]["pos_blob"]), 2)
         ).tolist()
         assert pos_a == [0, 2]
+
+
+def test_build_cache_is_content_free(spark):
+    """Round-4: build_index persists only (doc_id, dl, postings) — peak
+    storage bytes must NOT scale with the corpus' content bytes.  The
+    two corpora below tokenize IDENTICALLY (the padding is separator
+    chars the simple analyzer drops), but one carries ~1 MB more raw
+    content; their cached footprints must match."""
+    from limetrans_spark.operators.build import build_index
+
+    def cached_bytes():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+
+    def build_and_measure(rows):
+        spark.catalog.clearCache()
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        idx = build_index(df, analyzer="simple", shard_size=16)
+        idx.shards.count()  # force every derivation through the cache
+        b = cached_bytes()
+        spark.catalog.clearCache()
+        return b, idx
+
+    small = [(i, f"alpha beta w{i}") for i in range(50)]
+    pad = "." * 20_000  # 20 KB of token-free separators per doc
+    big = [(i, f"alpha beta w{i} {pad}") for i in range(50)]
+
+    b_small, idx_s = build_and_measure(small)
+    b_big, idx_b = build_and_measure(big)
+    # same index → (nearly) same cache; the 1 MB content delta must not
+    # appear in storage (pre-fix it did: the full text rode in the cache)
+    assert b_big - b_small < 200_000, (b_small, b_big)
+    # the docstore still serves content (lazy view over the input)
+    doc = idx_b.get_document(3)
+    assert doc["content"].startswith("alpha beta w3") and doc["dl"] == 3
+    # and the same docs/scores come out of the content-free build
+    from limetrans_spark.operators import query as Q
+
+    a = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(idx_s, "alpha w1", k=5).collect()]
+    b = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(idx_b, "alpha w1", k=5).collect()]
+    assert a == b and a[0][0] == 1
