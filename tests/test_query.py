@@ -286,3 +286,41 @@ def test_phrase_slop_monotone_and_zero_equals_exact(index, oracle):
     }
     want = oracle.sloppy_phrase_docs(["parse", "json"], 2) - oracle.docs_with("license")
     assert got == want
+
+
+def test_prefix_fuzzy_expansion_cap_binds(spark):
+    """The 128-term expansion cap (MAX_PREFIX_EXPANSIONS) actually
+    exercised: 300 terms share the prefix; the engine must score/match
+    exactly the top-128 by (df DESC, term) — the same policy the gate
+    oracles now embed — identically on all three tiers."""
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.operators.serve import LocalSearcher
+
+    # term pXXX appears in docs 0..(i % 7): df varies 1..7, ties broken
+    # by term string; every doc also has a filler token
+    rows = []
+    n_terms, n_docs = 300, 140
+    for d in range(n_docs):
+        toks = ["filler"]
+        for t in range(n_terms):
+            if d <= t % 7:
+                toks.append(f"p{t:03d}")
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(df, analyzer="simple", shard_size=64)
+
+    # expected expansion: top 128 by (df desc, term asc)
+    dfs = {f"p{t:03d}": (t % 7) + 1 for t in range(n_terms)}
+    exp = sorted(sorted(dfs), key=lambda t: (-dfs[t], t))[:128]
+    assert len(set(exp)) == 128
+    want = {d for t in exp for d in range(dfs[t])}
+
+    got_df = {r["doc_id"] for r in Q.matching_docs_df(idx, "p*").collect()}
+    got_sh = {r["doc_id"] for r in Q.bm25_topk_sharded(idx, "p*", k=1000).collect()}
+    srv = LocalSearcher.from_index(idx)
+    got_sv = {d for d, _ in srv.search("p*", k=1000)}
+    assert got_df == got_sh == got_sv == want
+
+    # with df ties everywhere, the cap selects p000..p127 under a uniform
+    # corpus; fuzzy banding honors the same cap (q~1 over 1-char terms)
+    assert Q._expand_prefix(idx, "p") == sorted(exp)
