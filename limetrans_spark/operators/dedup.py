@@ -520,10 +520,18 @@ def near_dup_clusters(
     dense (small diameter), and ``max_iter`` guards pathological chains
     (raises rather than returning a half-propagated clustering).
 
-    Deterministic at any parallelism (min is order-free); per-round
-    frames are persisted and released pairwise; the result is
-    materialized and cached (caller owns it — same contract as the pair
-    generators).
+    Deterministic at any parallelism (min is order-free).  Each round
+    ends in an EAGER ``localCheckpoint``: the round's plan references
+    the previous labels twice (neighbor aggregation + self), so without
+    lineage truncation the analyzed plan DOUBLES per round — a chain
+    graph needing ~30 rounds OOMs the driver just materializing the
+    plan tree (found at sf0.001, where the 31-term vocabulary produces
+    chain-shaped near-dup components).  The checkpoint bounds every
+    round at a constant-size plan; on a multi-executor cluster with
+    executor loss in play, set a reliable ``spark.checkpoint.dir`` and
+    swap ``localCheckpoint`` for ``checkpoint`` — same contract.  The
+    result's blocks are materialized (caller owns them — same contract
+    as the pair generators).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -552,7 +560,7 @@ def near_dup_clusters(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # truncate lineage: see docstring
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))

@@ -354,3 +354,19 @@ def test_jaccard_unigram_auto_ceiling(spark):
     got2 = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out2.collect()}
     out2.unpersist()
     assert got2 == {(2 * k, 2 * k + 1): 0.6 for k in range(n // 2)}
+
+
+def test_near_dup_clusters_chain_graph_lineage(spark):
+    """Regression (round 4): a CHAIN component needs ~n rounds of label
+    propagation; each round's plan references the previous labels twice,
+    so without per-round lineage truncation the analyzed plan doubled
+    per round and a ~25-round chain OOM'd the driver.  25-node chain →
+    every node must resolve to label 0 within the round budget."""
+    n = 25
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.near_dup_clusters(pairs, ids, max_iter=n + 2)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
