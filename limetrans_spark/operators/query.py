@@ -65,6 +65,28 @@ MAX_HITS = 1000  # reference cap: ElasticsearchClient.java:30
 MAX_PREFIX_EXPANSIONS = 128
 
 
+def query_analyzer_for(index) -> "callable":
+    """Query-side analyzer twin for a flat index, derived from its
+    build-time analyzer label — a ``simple_stem`` index stems the query
+    terms, ``simple_stop`` drops stopwords (the per-field analysis the
+    fielded tier already does via ``_QUERY_ANALYZERS``).  ``code`` and
+    ``simple`` both analyze queries with the simple tokenizer: single
+    lowercase query terms are identical under both, and the code
+    analyzer's catenate/part variants are index-side overlap tokens the
+    simple split already matches ('parse-json' → [parse, json])."""
+    from ..functions.analysis import (
+        stemmed_query_tokenize_py,
+        stop_query_tokenize_py,
+    )
+
+    twins = {
+        "simple_stem": stemmed_query_tokenize_py,
+        "simple_stop": stop_query_tokenize_py,
+    }
+    label = index.metrics.get("analyzer") if getattr(index, "metrics", None) else None
+    return twins.get(label, simple_tokenize_py)
+
+
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -359,7 +381,11 @@ def _expand_fuzzy(index: BuiltIndex, term: str, fuzz: int) -> list[str]:
 
 def matching_docs_df(index: BuiltIndex, query: str | ParsedQuery) -> DataFrame:
     """Boolean matching doc set (AND of OR-groups, honoring negation)."""
-    pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+    pq = (
+        query
+        if isinstance(query, ParsedQuery)
+        else parse_query(query, analyze=query_analyzer_for(index))
+    )
     spark = index.postings.sparkSession
     cur: DataFrame | None = None
     negatives: list[DataFrame] = []
@@ -408,7 +434,11 @@ def bm25_topk_df(
     compose the boolean match set from :func:`matching_docs_df` and
     left-semi join it into the scoring aggregate.
     """
-    pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+    pq = (
+        query
+        if isinstance(query, ParsedQuery)
+        else parse_query(query, analyze=query_analyzer_for(index))
+    )
     k = min(k, MAX_HITS)
     flat_op = _is_flat(pq)
     if flat_op is not None:
@@ -729,7 +759,11 @@ def bm25_topk_sharded(
     global ``orderBy(score desc, doc_id).limit(k)`` over ≤ k·n_shards
     rows.
     """
-    pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+    pq = (
+        query
+        if isinstance(query, ParsedQuery)
+        else parse_query(query, analyze=query_analyzer_for(index))
+    )
     k = min(k, MAX_HITS)
     # driver-side expansion of prefix/fuzzy clauses against the dictionary
     expansions: dict[tuple, list[str]] = {}

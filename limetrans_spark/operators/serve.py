@@ -50,10 +50,12 @@ class LocalSearcher:
         n_docs: int,
         avgdl: float,
         shard_size: int,
+        analyzer: str | None = None,
     ):
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.shard_size = shard_size
+        self.analyzer = analyzer
         self.term_df = term_df
         self._vocab = sorted(term_df)
         self._vocab_by_len: dict[int, list[str]] | None = None  # lazy, fuzzy only
@@ -86,6 +88,7 @@ class LocalSearcher:
             idx.n_docs,
             idx.avgdl,
             idx.shard_size,
+            analyzer=idx.metrics.get("analyzer"),
         )
 
     # -- plumbing -----------------------------------------------------------
@@ -145,10 +148,27 @@ class LocalSearcher:
     ) -> list[tuple[int, float]]:
         """``operator=None`` derives semantics from the parsed query
         (whitespace = AND, ``|`` = OR — same derivation as
-        ``bm25_topk_sharded``, so all paths agree on defaults)."""
+        ``bm25_topk_sharded``, so all paths agree on defaults); string
+        queries analyze with the index analyzer's query twin (stemmed /
+        stop indexes keep matching through the serving tier)."""
         from .query import _clause_docs_shard, _clause_key, _is_flat
 
-        pq = query if isinstance(query, ParsedQuery) else parse_query(query)
+        if isinstance(query, ParsedQuery):
+            pq = query
+        else:
+            from ..functions.analysis import (
+                simple_tokenize_py,
+                stemmed_query_tokenize_py,
+                stop_query_tokenize_py,
+            )
+
+            twins = {
+                "simple_stem": stemmed_query_tokenize_py,
+                "simple_stop": stop_query_tokenize_py,
+            }
+            pq = parse_query(
+                query, analyze=twins.get(self.analyzer, simple_tokenize_py)
+            )
         k = min(k, MAX_HITS)
         expansions: dict[tuple, list[str]] = {}
         has_structure = False

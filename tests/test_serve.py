@@ -56,3 +56,34 @@ def test_serving_k_cap_and_empty(searcher):
     assert searcher.search("zzznope", k=5) == []
     with pytest.raises(ValueError):
         searcher.search("-tokenize", k=5)
+
+
+def test_analyzer_twin_selected_from_index_label(spark):
+    """A stemmed or stop index queried with a STRING query analyzes the
+    query with the matching twin on every flat path (DF, sharded,
+    serving) — the CLI search path depends on this (a 'simple_stem'
+    snapshot must match 'queries' ↔ 'query')."""
+    from limetrans_spark.operators import query as Q
+    from limetrans_spark.operators.build import build_index
+
+    df = spark.createDataFrame(
+        [(0, "merged queries fast"), (1, "sort scan"), (2, "die Katze und der Hund")],
+        "doc_id long, content string",
+    )
+    sidx = build_index(df, analyzer="simple_stem", shard_size=8)
+    for got in [
+        {r["doc_id"] for r in Q.matching_docs_df(sidx, "query").collect()},
+        {r["doc_id"] for r in Q.bm25_topk_df(sidx, "query", k=10).collect()},
+        {r["doc_id"] for r in Q.bm25_topk_sharded(sidx, "query", k=10).collect()},
+        {d for d, _ in LocalSearcher.from_index(sidx).search("query", k=10)},
+    ]:
+        assert got == {0}, got
+
+    pidx = build_index(df, analyzer="simple_stop", shard_size=8)
+    # stopwords dropped from the query on all paths; survivors match
+    for got in [
+        {r["doc_id"] for r in Q.matching_docs_df(pidx, "die katze").collect()},
+        {r["doc_id"] for r in Q.bm25_topk_sharded(pidx, "die katze", k=10).collect()},
+        {d for d, _ in LocalSearcher.from_index(pidx).search("die katze", k=10)},
+    ]:
+        assert got == {2}, got
