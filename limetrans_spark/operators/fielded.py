@@ -888,20 +888,20 @@ def bm25_topk_fielded_sharded(
                 if not c.negated and gdocs is None:
                     gdocs = empty_docs()
                 continue
-            if c.negated:
-                negatives.append(_clause_docs_df(idx, c))
-                continue
+            # one expansion per clause, shared between scoring and
+            # boolean membership (same memoization as the DF tier)
+            expd = None
             if c.kind == "prefix":
-                score_terms.setdefault(fname, set()).update(
-                    _expand_prefix(idx, c.terms[0])
-                )
+                expd = _expand_prefix(idx, c.terms[0])
             elif c.kind == "fuzzy":
-                score_terms.setdefault(fname, set()).update(
-                    _expand_fuzzy(idx, c.terms[0], c.fuzz)
-                )
-            else:
-                score_terms.setdefault(fname, set()).update(c.terms)
-            d = _clause_docs_df(idx, c)
+                expd = _expand_fuzzy(idx, c.terms[0], c.fuzz)
+            if c.negated:
+                negatives.append(_clause_docs_df(idx, c, expd))
+                continue
+            score_terms.setdefault(fname, set()).update(
+                expd if expd is not None else c.terms
+            )
+            d = _clause_docs_df(idx, c, expd)
             gdocs = d if gdocs is None else gdocs.union(d).distinct()
         if gdocs is not None:
             cur = gdocs if cur is None else cur.join(gdocs, "doc_id", "left_semi")

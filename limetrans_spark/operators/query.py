@@ -326,19 +326,25 @@ def phrase_match_df(
     return cur.select("doc_id").distinct()
 
 
-def _clause_docs_df(index: BuiltIndex, clause: Clause) -> DataFrame:
-    """doc_id set matching one clause (ignoring negation)."""
+def _clause_docs_df(
+    index: BuiltIndex, clause: Clause, expanded: list[str] | None = None
+) -> DataFrame:
+    """doc_id set matching one clause (ignoring negation).  ``expanded``:
+    a pre-computed dictionary expansion for prefix/fuzzy clauses, so a
+    caller that already expanded for scoring skips the second
+    driver-side dictionary scan."""
     p = index.postings
     if clause.kind == "term":
         return p.filter(F.col("term") == clause.terms[0]).select("doc_id").distinct()
     if clause.kind == "phrase":
         return phrase_match_df(p, clause.terms, slop=clause.slop)
     if clause.kind in ("prefix", "fuzzy"):
-        expanded = (
-            _expand_prefix(index, clause.terms[0])
-            if clause.kind == "prefix"
-            else _expand_fuzzy(index, clause.terms[0], clause.fuzz)
-        )
+        if expanded is None:
+            expanded = (
+                _expand_prefix(index, clause.terms[0])
+                if clause.kind == "prefix"
+                else _expand_fuzzy(index, clause.terms[0], clause.fuzz)
+            )
         return (
             p.filter(F.col("term").isin(expanded)).select("doc_id").distinct()
             if expanded
