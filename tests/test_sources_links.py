@@ -185,3 +185,77 @@ def test_read_corpus_parquet_and_validation(spark, tmp_path):
     # iceberg branch raises the documented error when the runtime is absent
     with pytest.raises((RuntimeError, Exception)):
         read_corpus(spark, "cat.db.corpus", fmt="iceberg")
+
+
+def test_bgzf_roundtrip_and_block_index():
+    """BGZF layer (BGZF.java:15-44 analogue): round-trip, BC-subfield
+    block index without inflation, EOF sentinel, gzip compatibility."""
+    import gzip
+
+    from limetrans_spark.sources import bgzf
+
+    payload = bytes(range(256)) * 700  # ~175 KB → 3 blocks at 64K
+    data = bgzf.bgzf_compress(payload)
+    assert data.endswith(bgzf.EOF_BLOCK)
+    # a BGZF file IS valid concatenated gzip
+    assert gzip.decompress(data) == payload
+    assert bgzf.decompress_all(data) == payload
+    idx = bgzf.block_index(data)
+    assert [b.ulen for b in idx[:-1]] == [65280, 65280, len(payload) - 2 * 65280]
+    assert idx[-1].ulen == 0  # EOF sentinel block
+    assert sum(b.ulen for b in idx) == len(payload)
+    # uncompressed offsets accumulate
+    assert [b.uoffset for b in idx[:3]] == [0, 65280, 130560]
+
+
+def test_bgzf_virtual_offset_seek_read():
+    """seek(virtual offset) + read(n) ≡ payload[uoffset_global:…],
+    including reads crossing block boundaries — the access path the
+    reference CLI exposes (seek + bounded read)."""
+    from limetrans_spark.sources import bgzf
+
+    payload = b"".join(f"rec{i:06d}|".encode() for i in range(20000))  # 200 KB
+    data = bgzf.bgzf_compress(payload, block_size=4096)
+    idx = bgzf.block_index(data)
+    # read 10 bytes at the start of block 3
+    b3 = idx[3]
+    vo = bgzf.virtual_offset(b3.coffset, 0)
+    assert bgzf.read_at(data, vo, 10) == payload[b3.uoffset : b3.uoffset + 10]
+    # mid-block offset + a read spanning 3 blocks
+    vo2 = bgzf.virtual_offset(b3.coffset, 100)
+    want = payload[b3.uoffset + 100 : b3.uoffset + 100 + 10000]
+    assert bgzf.read_at(data, vo2, 10000) == want
+    # voffset round-trip
+    assert bgzf.split_virtual_offset(vo2) == (b3.coffset, 100)
+    # bad offsets raise
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bgzf.read_at(data, bgzf.virtual_offset(b3.coffset + 1, 0), 4)
+
+
+def test_bgzf_read_slices_spark(spark):
+    """Spark surface: per-row BGZF payload + (voffset, length) ranges →
+    exploded slices, Arrow-batched."""
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.sources import bgzf
+
+    payload = b"".join(f"row{i:05d};".encode() for i in range(5000))
+    data = bgzf.bgzf_compress(payload, block_size=2048)
+    idx = bgzf.block_index(data)
+    ranges = [
+        {"voffset": bgzf.virtual_offset(idx[0].coffset, 0), "length": 9},
+        {"voffset": bgzf.virtual_offset(idx[2].coffset, 5), "length": 13},
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(data), ranges)],
+        "file_id long, content binary, "
+        "ranges array<struct<voffset:long,length:int>>",
+    )
+    out = bgzf.read_slices(df).orderBy("voffset").collect()
+    assert [bytes(r["slice"]) for r in out] == [
+        payload[:9],
+        payload[idx[2].uoffset + 5 : idx[2].uoffset + 5 + 13],
+    ]
+    assert out[0]["file_id"] == 1 and "content" not in out[0].asDict()
