@@ -100,3 +100,66 @@ def test_simple_tokenizer_matches_regex_semantics(text):
     assert all(t and all(c.islower() or c.isdigit() for c in t) for t in toks)
     # idempotent under its own output
     assert simple_tokenize_py(" ".join(toks)) == toks
+
+
+# --- sloppy-phrase DP vs brute force (round 4) ------------------------------
+
+pos_list = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=1, max_size=8
+).map(lambda xs: np.array(sorted(set(xs)), dtype=np.int64))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(pos_list, min_size=2, max_size=4),
+    st.integers(min_value=0, max_value=6),
+)
+def test_sloppy_match_dp_equals_bruteforce(pos_lists, slop):
+    """The engine's prefix-max DP ≡ exhaustive DFS over all ordered
+    occurrence selections (total extra gap ≤ slop), on random inputs."""
+    from limetrans_spark.operators.query import _sloppy_match_np
+
+    def brute(i, prev, used):
+        if i == len(pos_lists):
+            return True
+        return any(
+            p > prev and used + (p - prev - 1) <= slop and brute(i + 1, p, used + (p - prev - 1))
+            for p in pos_lists[i].tolist()
+        )
+
+    want = any(brute(1, p, 0) for p in pos_lists[0].tolist())
+    assert _sloppy_match_np(pos_lists, slop) == want
+
+
+# --- nested path ops invariants (round 4) -----------------------------------
+
+_key = st.sampled_from(["a", "b", "c", "d"])
+_scalar = st.text(alphabet="xyz01", max_size=4)
+
+
+def _tree(depth):
+    if depth == 0:
+        return _scalar
+    return st.dictionaries(
+        _key,
+        st.one_of(_scalar, st.lists(_scalar, max_size=3), _tree(depth - 1)),
+        max_size=4,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tree(2), st.lists(_key, min_size=1, max_size=3), _scalar)
+def test_path_set_then_get_roundtrip(rec, segs, value):
+    """After path_set(p, v) on plain-name paths, path_get(p) sees v; a
+    following path_remove(p) erases every match and is idempotent."""
+    from limetrans_spark.functions.records import path_get, path_remove, path_set
+
+    path = ".".join(segs)
+    try:
+        path_set(rec, path, value)
+    except ValueError:
+        return  # hit a scalar/list intermediate — documented behavior
+    assert value in path_get(rec, path)
+    path_remove(rec, path)
+    assert path_get(rec, path) == []
+    path_remove(rec, path)  # idempotent on missing paths
