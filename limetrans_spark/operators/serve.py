@@ -91,6 +91,47 @@ class LocalSearcher:
             analyzer=idx.metrics.get("analyzer"),
         )
 
+    @classmethod
+    def from_snapshot(
+        cls, snap: str, shard_subset: "list[int] | None" = None
+    ) -> "LocalSearcher":
+        """Open a PUBLISHED snapshot directly from its parquet artifacts
+        — NO SparkSession, pure pyarrow.  This is the production-replica
+        path the class docstring promises: a serving node opens the
+        snapshot the build published (``plans/lifecycle.save_index``)
+        and answers queries without touching the build cluster.
+
+        ``shard_subset`` loads only those shards' posting rows and
+        doclen blobs (a replica serving its slice of the doc space);
+        the term dictionary — tiny, global — always loads fully, so
+        idf/df statistics (and therefore scores) stay GLOBAL and the
+        per-replica top-k merges correctly across replicas."""
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        with open(_os.path.join(snap, "manifest.json")) as f:
+            m = _json.load(f)
+        shards = _pq.read_table(_os.path.join(snap, "shards")).to_pylist()
+        sdl = _pq.read_table(_os.path.join(snap, "shard_dl")).to_pylist()
+        if shard_subset is not None:
+            keep = set(shard_subset)
+            shards = [r for r in shards if int(r["shard"]) in keep]
+            sdl = [r for r in sdl if int(r["shard"]) in keep]
+        terms = _pq.read_table(
+            _os.path.join(snap, "terms"), columns=["term", "df"]
+        ).to_pylist()
+        return cls(
+            shards,
+            sdl,
+            {r["term"]: int(r["df"]) for r in terms},
+            m["n_docs"],
+            m["avgdl"],
+            m["shard_size"],
+            analyzer=m.get("metrics", {}).get("analyzer"),
+        )
+
     # -- plumbing -----------------------------------------------------------
 
     def _plist(self, shard: int, term: str) -> dict | None:

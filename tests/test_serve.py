@@ -87,3 +87,33 @@ def test_analyzer_twin_selected_from_index_label(spark):
         {d for d, _ in LocalSearcher.from_index(pidx).search("die katze", k=10)},
     ]:
         assert got == {2}, got
+
+
+def test_from_snapshot_sparkless_replica(spark, tmp_path):
+    """A published snapshot opens WITHOUT Spark (pure pyarrow) and
+    answers identically to the in-memory searcher; a shard-subset
+    replica serves its slice with GLOBAL statistics (scores equal the
+    full searcher's on its docs, so cross-replica top-k merges)."""
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    idx = build_index(synth_corpus(spark, 120, partitions=4), shard_size=32)
+    root = str(tmp_path / "idx")
+    snap = lc.save_index(idx, root, "code", "g1")
+
+    full_mem = LocalSearcher.from_index(idx)
+    full_snap = LocalSearcher.from_snapshot(snap)
+    assert full_snap.analyzer == "code"
+    for q in ["tokenize score", "parse json | license", '"applicable law"', "varint*"]:
+        a = [(d, round(s, 9)) for d, s in full_mem.search(q, k=15)]
+        b = [(d, round(s, 9)) for d, s in full_snap.search(q, k=15)]
+        assert a == b, q
+
+    # replica for shards {0, 2}: same scores, restricted doc space
+    replica = LocalSearcher.from_snapshot(snap, shard_subset=[0, 2])
+    full = dict(full_snap.search("tokenize score", k=1000))
+    got = replica.search("tokenize score", k=1000)
+    assert got and all(d // 32 in (0, 2) for d, _ in got)
+    for d, s in got:
+        assert abs(s - full[d]) < 1e-12
