@@ -957,3 +957,159 @@ def bm25_topk_fielded_sharded(
         .limit(k)
         .select("doc_id", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-free fielded serving: per-field LocalSearchers + fielded scoring
+# --------------------------------------------------------------------------
+
+
+class LocalFieldedSharded:
+    """Serving-tier twin of :func:`bm25_topk_fielded_sharded` that needs
+    NO SparkSession: one :class:`serve.LocalSearcher` per field (each
+    its own scoring space with global per-field statistics), opened
+    straight from a published ``save_fielded`` tree via pyarrow.  Same
+    semantics as the other fielded tiers — per-field query analysis,
+    top-128 expansions, positional (sloppy) phrases, unknown-field
+    leniency, sorted-(field, term) float accumulation, doc_id tie-break
+    — so results are rank-identical to the DataFrame tier (tested)."""
+
+    def __init__(self, searchers: dict, default_field: str = "all"):
+        self.searchers = dict(searchers)
+        self.default_field = default_field
+        self.analyzers = {
+            f: (s.analyzer or "simple") for f, s in self.searchers.items()
+        }
+
+    @classmethod
+    def from_snapshot(cls, root: str) -> "LocalFieldedSharded":
+        """Open every field's current snapshot under a ``save_fielded``
+        root — pure pyarrow, no Spark."""
+        import json as _json
+        import os as _os
+
+        from ..plans.lifecycle import current_snapshot
+        from .serve import LocalSearcher
+
+        with open(_os.path.join(root, "fielded_manifest.json")) as f:
+            m = _json.load(f)
+        searchers = {}
+        for fname in m["fields"]:
+            froot = _os.path.join(root, "fields", fname)
+            snap = current_snapshot(froot)
+            if snap is None:
+                raise FileNotFoundError(f"no current snapshot for field {fname!r}")
+            searchers[fname] = LocalSearcher.from_snapshot(
+                _os.path.join(froot, "snapshots", snap)
+            )
+        return cls(searchers)
+
+    # -- per-clause doc sets over one field's searcher ----------------------
+
+    def _clause_docs(self, c: Clause, fname: str, expansions: dict) -> set:
+        import numpy as np
+
+        from .query import _clause_docs_shard, _clause_key
+
+        s = self.searchers.get(fname)
+        if s is None:  # unknown field: lenient empty set
+            return set()
+        out: set[int] = set()
+        terms = expansions.get(_clause_key(c), c.terms)
+        for shard in sorted(s._shards):
+            plists = {
+                t: p for t in terms if (p := s._plist(shard, t)) is not None
+            }
+            if not plists:
+                continue
+            d = _clause_docs_shard(plists, c, {_clause_key(c): list(terms)}, shard * s.shard_size)
+            out.update(int(x) for x in np.asarray(d).tolist())
+        return out
+
+    def search(
+        self, query: "str | ParsedQuery", k: int = 10, default_field: str | None = None
+    ) -> list[tuple[int, float]]:
+        import numpy as np
+
+        from .query import _clause_key
+
+        default_field = default_field or self.default_field
+        pq = (
+            query
+            if isinstance(query, ParsedQuery)
+            else parse_fielded_query(query, default_field, self.analyzers)
+        )
+        k = min(k, MAX_HITS)
+        expansions: dict[tuple, list[str]] = {}
+        cur: set[int] | None = None
+        negs: list[set[int]] = []
+        score_pairs: set[tuple[str, str]] = set()
+        for group in pq.groups:
+            gdocs: set[int] | None = None
+            for c in group:
+                fname = _clause_field(c, default_field)
+                s = self.searchers.get(fname)
+                if c.kind in ("prefix", "fuzzy") and s is not None:
+                    key = _clause_key(c)
+                    if key not in expansions:
+                        expansions[key] = s._expand(c)
+                if c.negated:
+                    negs.append(self._clause_docs(c, fname, expansions))
+                    continue
+                if c.kind in ("prefix", "fuzzy"):
+                    score_pairs.update(
+                        (fname, t) for t in expansions.get(_clause_key(c), [])
+                    )
+                else:
+                    score_pairs.update((fname, t) for t in c.terms)
+                d = self._clause_docs(c, fname, expansions)
+                gdocs = d if gdocs is None else (gdocs | d)
+            if gdocs is not None:
+                cur = gdocs if cur is None else (cur & gdocs)
+        if cur is None:  # pure-negative/empty → match_all over every field's docs
+            cur = set()
+            for s in self.searchers.values():
+                for shard in s._shards:
+                    dl = s._dl.get(shard)
+                    if dl is None:
+                        continue
+                    base = shard * s.shard_size
+                    cur.update((np.nonzero(dl > 0)[0] + base).tolist())
+        for n in negs:
+            cur -= n
+        if not score_pairs:
+            return [(d, 0.0) for d in sorted(cur)[:k]]
+
+        cand = np.fromiter(cur, dtype=np.int64, count=len(cur))
+        cand.sort()
+        if cand.size == 0:
+            return []
+        scores = np.zeros(cand.size, dtype=np.float64)
+        touched = np.zeros(cand.size, dtype=bool)
+        from .query import bm25_idf as _idf
+
+        for fname, term in sorted(score_pairs):  # the shared float order
+            s = self.searchers.get(fname)
+            if s is None:
+                continue
+            idf = _idf(s.n_docs, s.term_df.get(term, 0))
+            for shard in sorted(s._shards):
+                pl = s._plist(shard, term)
+                if pl is None:
+                    continue
+                dlv = s._dl.get(shard)
+                base = shard * s.shard_size
+                docs, tfs = pl["docs"], pl["tfs"].astype(np.float64)
+                pos = np.minimum(np.searchsorted(cand, docs), cand.size - 1)
+                ok = cand[pos] == docs
+                if not ok.any():
+                    continue
+                idx = pos[ok]
+                tf = tfs[ok]
+                dl = dlv[(docs[ok] - base)]
+                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / s.avgdl)
+                scores[idx] += idf * tf * (BM25_K1 + 1.0) / (tf + norm)
+                touched[idx] = True
+        sel = np.nonzero(touched)[0]
+        order = np.lexsort((cand[sel], -scores[sel]))[:k]
+        return [(int(cand[sel][i]), float(scores[sel][i])) for i in order]

@@ -518,3 +518,46 @@ def test_fielded_phrase_slop_three_tiers(spark):
         assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
         for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
             assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q
+
+
+def test_local_fielded_sharded_from_snapshot(spark, tmp_path):
+    """Spark-free fielded replica: save_fielded → LocalFieldedSharded
+    .from_snapshot (pure pyarrow) answers rank-identically to the
+    DataFrame and sharded Spark tiers, incl. per-field analyzers,
+    prefix/fuzzy expansion scoring, and (sloppy) positional phrases."""
+    from limetrans_spark.plans import lifecycle as lc
+
+    rows = [
+        (i, f"merge{'' if i % 2 else 'd'} queries w{i} fast", f"k{i % 3} exact")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, kw string")
+    fields = {"body": ("body", "simple_stem"), "kw": ("kw", "simple")}
+    fidx = FL.build_fielded_index(df, fields=fields, copy_to={"kw": ["all"]})
+    sidx = FL.build_fielded_sharded(df, fields=fields, copy_to={"kw": ["all"]}, shard_size=5)
+    root = str(tmp_path / "froot")
+    lc.save_fielded(sidx, root, "f", "g1")
+
+    repl = FL.LocalFieldedSharded.from_snapshot(root)
+    assert repl.analyzers["body"] == "simple_stem"
+    for q in [
+        "body:query",
+        "body:merge kw:exact",
+        "kw:k1 | kw:k2",
+        "body:quer*",
+        "body:mergd~1",
+        'body:"queries w2"',
+        'body:"queries fast"~1',
+        "exact",
+        "kw:k1 -kw:k2",
+        "typo:x | kw:k0",
+    ]:
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, q, k=20).collect()]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, q, k=20).collect()
+        ]
+        c = repl.search(q, k=20)
+        assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
+        for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
+            assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q
