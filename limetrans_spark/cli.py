@@ -85,6 +85,24 @@ def _add_search_fielded(sub):
     p.add_argument("--default-field", default="all")
 
 
+def _add_serve(sub):
+    p = sub.add_parser(
+        "serve",
+        help="Spark-FREE BM25 top-k straight from a published snapshot "
+        "(pyarrow; serving replicas never start a SparkSession)",
+    )
+    p.add_argument("--root", required=True, help="index root (or save_fielded root)")
+    p.add_argument("--snapshot", default=None, help="snapshot name (default: alias)")
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--fielded", action="store_true", help="root is a save_fielded tree")
+    p.add_argument("--default-field", default="all")
+    p.add_argument(
+        "--shards", default=None,
+        help="comma-separated shard ids: load only this replica's slice",
+    )
+
+
 def _add_filter(sub):
     p = sub.add_parser("filter", help="standalone record filter (filter/Main analogue)")
     p.add_argument("--input", required=True, help="parquet path")
@@ -105,8 +123,34 @@ def main(argv: list[str] | None = None) -> int:
     _add_search(sub)
     _add_build_fielded(sub)
     _add_search_fielded(sub)
+    _add_serve(sub)
     _add_filter(sub)
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve":  # no SparkSession — the serving-replica path
+        import os
+
+        from .operators.serve import LocalSearcher
+
+        if args.fielded:
+            from .operators.fielded import LocalFieldedSharded
+
+            repl = LocalFieldedSharded.from_snapshot(args.root)
+            hits = repl.search(args.query, k=args.k, default_field=args.default_field)
+        else:
+            snap_name = args.snapshot or lc.current_snapshot(args.root)
+            if snap_name is None:
+                raise FileNotFoundError(f"no current snapshot under {args.root}")
+            subset = (
+                [int(s) for s in args.shards.split(",")] if args.shards else None
+            )
+            searcher = LocalSearcher.from_snapshot(
+                os.path.join(args.root, "snapshots", snap_name), shard_subset=subset
+            )
+            hits = searcher.search(args.query, k=args.k)
+        for d, s in hits:
+            print(json.dumps({"doc_id": d, "score": round(s, 6)}))
+        return 0
 
     spark = get_spark(
         app_name=f"limetrans-{args.cmd}",

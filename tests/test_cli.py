@@ -158,3 +158,36 @@ def test_cli_fielded_build_and_search(spark, tmp_path_factory):
 
     out3 = run_cli("search-fielded", "--root", root, "--query", "nosuchfield:x")
     assert out3.returncode == 0 and out3.stdout.strip() == ""  # lenient
+
+
+def test_cli_serve_sparkless(corpus_path, tmp_path_factory):
+    """The `serve` subcommand answers from a published snapshot WITHOUT
+    a SparkSession, matching the Spark `search` command's results; a
+    --shards replica serves its slice with global statistics."""
+    root = str(tmp_path_factory.mktemp("serveidx"))
+    out = run_cli(
+        "build", "--input", corpus_path, "--root", root, "--generation", "g1",
+        "--shard-size", "32", "--buckets", "4", "--wave-size", "2",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    q = "tokenize score"
+    spark_out = run_cli("search", "--root", root, "--query", q, "-k", "5", "--mode", "wand")
+    assert spark_out.returncode == 0, spark_out.stderr[-2000:]
+    want = [json.loads(l) for l in spark_out.stdout.strip().splitlines() if l.startswith("{")]
+
+    serve_out = run_cli("serve", "--root", root, "--query", q, "-k", "5")
+    assert serve_out.returncode == 0, serve_out.stderr[-2000:]
+    got = [json.loads(l) for l in serve_out.stdout.strip().splitlines() if l.startswith("{")]
+    assert got == want
+    # the serve path must not have started a JVM: no spark noise markers
+    assert "SparkContext" not in serve_out.stderr
+
+    # replica slice: shard 0 only → docs < 32, scores equal the full run
+    repl_out = run_cli("serve", "--root", root, "--query", q, "-k", "100", "--shards", "0")
+    rows = [json.loads(l) for l in repl_out.stdout.strip().splitlines() if l.startswith("{")]
+    assert rows and all(r["doc_id"] < 32 for r in rows)
+    full = {r["doc_id"]: r["score"] for r in got}
+    for r in rows:
+        if r["doc_id"] in full:
+            assert abs(r["score"] - full[r["doc_id"]]) < 1e-9
