@@ -346,11 +346,20 @@ def morph_marc21(spark, paths, xml_text: str, vars_: dict | None = None) -> Data
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .records import DuplicateFieldError
+
         for pdf in batches:
             ids, recs = [], []
             for raw_rec in pdf["value"]:
                 rid, _, fields = parse_marc21_record(raw_rec)
-                tree = morph.transform(_occurrences(fields))
+                try:
+                    tree = morph.transform(_occurrences(fields))
+                except DuplicateFieldError:
+                    # the reference's backend rejects THE RECORD on
+                    # duplicate sibling fields (assertMissing,
+                    # ElasticsearchIndexerTest.java:180-196) — one bad
+                    # record must not fail a corpus-wide job
+                    continue
                 ids.append(rid)
                 recs.append(to_json_str(tree))
             yield pd.DataFrame({"record_id": ids, "record": recs})

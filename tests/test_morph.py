@@ -159,3 +159,30 @@ def test_morph_marc21_spark_surface(spark, tmp_path):
         "title": "Title 1",
         "subjects": ["T1", "T2"],
     }
+
+
+def test_morph_marc21_rejects_duplicate_field_records(spark, tmp_path):
+    """A rule set emitting duplicate sibling fields rejects THAT record
+    (the reference backend's duplicate-field parse error → record
+    missing) without failing the job."""
+    from limetrans_spark.sources.marc import encode_marc21_record
+
+    raws = [
+        encode_marc21_record(
+            "00000nam a2200000 a 4500",
+            [("001", "GOOD"), ("245", "1", "0", [("a", "one title")])],
+        ),
+        encode_marc21_record(
+            "00000nam a2200000 a 4500",
+            [("001", "DUP"),
+             ("245", "1", "0", [("a", "first")]),
+             ("245", "1", "0", [("a", "second")])],  # → duplicate 'title'
+        ),
+    ]
+    p = tmp_path / "d.mrc"
+    p.write_text("".join(raws), encoding="utf-8")
+    xml = """<metamorph xmlns="http://www.culturegraph.org/metamorph" version="1">
+      <rules><data name="title" source="245??.a"/></rules></metamorph>"""
+    out = morph_marc21(spark, str(p), xml).collect()
+    assert [r["record_id"] for r in out] == ["GOOD"]
+    assert json.loads(out[0]["record"]) == {"title": "one title"}
