@@ -502,3 +502,53 @@ def transform_records_json(
             yield pdf[pd.Series(keep, index=pdf.index)]
 
     return df.mapInPandas(run, schema)
+
+
+def _scalar_leaves(v) -> list[str]:
+    """Scalar leaves of a matched value in document order — how an
+    indexer flattens a multivalued/nested field into one analyzable
+    stream (cf. Elasticsearch array flattening)."""
+    if isinstance(v, dict):
+        return [s for x in v.values() for s in _scalar_leaves(x)]
+    if isinstance(v, list):
+        return [s for x in v for s in _scalar_leaves(x)]
+    return [] if v is None else [str(v)]
+
+
+def extract_fields(
+    df: DataFrame,
+    paths: dict[str, str],
+    record_col: str = "record",
+    joiner: str = " ",
+) -> DataFrame:
+    """Project Fix paths out of a nested-record JSON column into plain
+    string columns — the last-mile glue between the transform surface
+    (``read_marc21_nested`` / ``transform_records_json``) and the
+    fielded index builders, which take flat source columns.
+
+    ``paths``: output column → Fix path (wildcards/array selectors
+    allowed); every scalar leaf of every match joins with ``joiner`` in
+    document order, so a multivalued path (``650.*.a``) indexes like an
+    Elasticsearch array field.  One Arrow-batched pass."""
+    paths = dict(paths)
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{c}` string" for c in paths]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in paths}
+            for s in pdf[record_col]:
+                rec = json.loads(s) if s is not None else {}
+                for c, p in paths.items():
+                    leaves = [
+                        leaf for m in path_get(rec, p) for leaf in _scalar_leaves(m)
+                    ]
+                    cols[c].append(joiner.join(leaves) if leaves else None)
+            out = pdf.copy()
+            for c, vals in cols.items():
+                out[c] = vals
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -247,3 +247,55 @@ def test_read_marc21_nested_and_transform(spark, tmp_path):
     )
     assert [r["record_id"] for r in out2] == ["R0", "R2"]
     assert json.loads(out2[0]["record"])["topics"] == ["T1", "T2"]
+
+
+def test_extract_fields_to_fielded_index_e2e(spark, tmp_path):
+    """The reference's full flow, end to end: MARC stream → Fix rules →
+    nested records → extract_fields path projection → fielded index →
+    fielded query."""
+    from limetrans_spark.operators import fielded as FL
+    from limetrans_spark.sources.marc import encode_marc21_record
+
+    raws = []
+    titles = ["hash join methods", "merge sort basics", "hash tables deep"]
+    for i, t in enumerate(titles):
+        raws.append(
+            encode_marc21_record(
+                "00000nam a2200000 a 4500",
+                [
+                    ("001", f"R{i}"),
+                    ("245", "1", "0", [("a", t)]),
+                    ("650", " ", "0", [("a", f"topic{i}")]),
+                    ("650", " ", "0", [("a", "shared")]),
+                ],
+            )
+        )
+    p = tmp_path / "flow.mrc"
+    p.write_text("".join(raws), encoding="utf-8")
+
+    recs = R.read_marc21_nested(spark, str(p))
+    flat = R.extract_fields(
+        recs,
+        {"title": "245.0.a", "subjects": "650.*.a", "marc_id": "001"},
+    ).withColumn("doc_id", __import__("pyspark.sql.functions", fromlist=["F"]).monotonically_increasing_id())
+    rows = {r["record_id"]: r for r in flat.collect()}
+    assert rows["R1"]["title"] == "merge sort basics"
+    assert rows["R2"]["subjects"] == "topic2 shared"  # multivalue flattened
+
+    # stable ids for the index (hash of record_id is overkill here)
+    from pyspark.sql import functions as F
+
+    flat2 = R.extract_fields(
+        recs, {"title": "245.0.a", "subjects": "650.*.a"}
+    ).withColumn("doc_id", F.substring("record_id", 2, 9).cast("long"))
+    fidx = FL.build_fielded_index(
+        flat2,
+        fields={"title": "title", "subjects": "subjects"},
+        copy_to={"title": ["all"], "subjects": ["all"]},
+    )
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "title:hash", k=10).collect()}
+    assert hits == {0, 2}
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, "subjects:shared", k=10).collect()}
+    assert hits == {0, 1, 2}
+    hits = {r["doc_id"] for r in FL.bm25_topk_fielded(fidx, '"merge sort"', k=10).collect()}
+    assert hits == {1}
