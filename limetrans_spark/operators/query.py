@@ -692,33 +692,70 @@ def _phrase_docs_shard(
     pos_by_term = {}
     for t in set(terms):
         pl = plists[t]
+        if "positions" in pl:  # serving tier: decode once per plist,
+            pos_by_term[t] = pl["positions"]  # reuse across queries
+            continue
         if len(pl["pos_blob"]) == 0 and int(pl["tfs"].sum()) > 0:
             raise ValueError("phrase query requires an index built with_positions=True")
         pos_by_term[t] = codec.decode_positions(pl["pos_blob"], pl["tfs"])
-    out = []
-    for doc in cand:
-        if slop > 0:
-            pos_lists = []
-            for t in terms:
-                pl = plists[t]
-                j = int(np.searchsorted(pl["docs"], doc))
-                pos_lists.append(pos_by_term[t][j])
-            if _sloppy_match_np(pos_lists, slop):
-                out.append(int(doc))
-            continue
-        ends = None
-        ok = True
+        pl["positions"] = pos_by_term[t]
+    if slop == 0:
+        # vectorized exact adjacency across ALL candidate docs at once:
+        # term i's occurrence at (doc, p) becomes key doc·BIG + (p − i);
+        # a phrase occurrence is a key shared by every term.  One
+        # intersect1d per phrase term over flat arrays — no per-doc loop
+        # (the old shape dominated warm phrase serving latency).
+        BIG = np.int64(1) << 33  # positions are int32-bounded
+        cur = None
         for i, t in enumerate(terms):
             pl = plists[t]
-            j = int(np.searchsorted(pl["docs"], doc))
-            pos = pos_by_term[t][j]
-            ends = pos if ends is None else np.intersect1d(ends + 1, pos)
-            if ends.size == 0:
-                ok = False
-                break
-        if ok:
-            out.append(int(doc))
-    return np.asarray(out, dtype=np.int64)
+            j = np.searchsorted(pl["docs"], cand)
+            plist = pos_by_term[t]
+            per_doc = [np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()]
+            reps = np.fromiter((p.size for p in per_doc), dtype=np.int64, count=len(per_doc))
+            docs_rep = np.repeat(cand.astype(np.int64), reps)
+            pos_cat = (
+                np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.int64)
+            )
+            aligned = pos_cat - i
+            mask = aligned >= 0
+            keys = docs_rep[mask] * BIG + aligned[mask]
+            keys.sort()  # per-doc positions were sorted, not the concat
+            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            if cur.size == 0:
+                return np.zeros(0, dtype=np.int64)
+        return np.unique(cur // BIG)
+    # slop > 0: the SAME prefix-max DP, run once over composite keys
+    # doc·BIG + pos for all candidate docs together.  Cross-doc
+    # transitions are rejected automatically: a predecessor from an
+    # earlier doc leaves x − v' ≥ BIG ≫ slop, and when a same-doc
+    # predecessor exists its v dominates the prefix max (its key is
+    # ≥ BIG − max_pos larger), so the DP is exactly the per-doc DP —
+    # without the per-candidate Python loop.
+    BIG = np.int64(1) << 33
+    key_lists = []
+    for t in terms:
+        pl = plists[t]
+        j = np.searchsorted(pl["docs"], cand)
+        plist = pos_by_term[t]
+        per_doc = [np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()]
+        reps = np.fromiter((p.size for p in per_doc), dtype=np.int64, count=len(per_doc))
+        docs_rep = np.repeat(cand.astype(np.int64), reps)
+        pos_cat = np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.int64)
+        key_lists.append(docs_rep * BIG + pos_cat)
+    prev = key_lists[0]
+    v = prev.copy()
+    for ks in key_lists[1:]:
+        if prev.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        pref = np.maximum.accumulate(v)
+        idx = np.searchsorted(prev, ks, side="left")
+        ok = idx > 0
+        x = ks[ok]
+        nv = pref[idx[ok] - 1] + 1
+        keep = (x - nv) <= slop
+        prev, v = x[keep], nv[keep]
+    return np.unique(prev // BIG)
 
 
 def _clause_key(clause: Clause) -> tuple:
