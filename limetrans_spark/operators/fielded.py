@@ -627,7 +627,7 @@ class LocalFieldedSearcher:
     ) -> set[int]:
         import numpy as np
 
-        from .query import _sloppy_match_np
+        from .query import _phrase_docs_vec
 
         pls = [self._plists.get((fname, t)) for t in terms]
         if any(p is None for p in pls):
@@ -639,25 +639,13 @@ class LocalFieldedSearcher:
         cand = pls[0][0]
         for p in pls[1:]:
             cand = np.intersect1d(cand, p[0], assume_unique=True)
-        out: set[int] = set()
-        for doc in cand:
-            if slop > 0:
-                pos_lists = [p[2][int(np.searchsorted(p[0], doc))] for p in pls]
-                if _sloppy_match_np(pos_lists, slop):
-                    out.add(int(doc))
-                continue
-            ends = None
-            ok = True
-            for p in pls:
-                j = int(np.searchsorted(p[0], doc))
-                pos = p[2][j]
-                ends = pos if ends is None else np.intersect1d(ends + 1, pos)
-                if ends.size == 0:
-                    ok = False
-                    break
-            if ok:
-                out.add(int(doc))
-        return out
+        if cand.size == 0:
+            return set()
+        per_term = []
+        for p in pls:
+            j = np.searchsorted(p[0], cand)
+            per_term.append([np.asarray(p[2][jj], dtype=np.int64) for jj in j.tolist()])
+        return {int(d) for d in _phrase_docs_vec(cand, per_term, slop)}
 
     def _clause_docset(self, c: Clause, fname: str, expansions: dict) -> set[int]:
         if c.kind == "term":

@@ -699,55 +699,64 @@ def _phrase_docs_shard(
             raise ValueError("phrase query requires an index built with_positions=True")
         pos_by_term[t] = codec.decode_positions(pl["pos_blob"], pl["tfs"])
         pl["positions"] = pos_by_term[t]
-    if slop == 0:
-        # vectorized exact adjacency across ALL candidate docs at once:
-        # term i's occurrence at (doc, p) becomes key doc·BIG + (p − i);
-        # a phrase occurrence is a key shared by every term.  One
-        # intersect1d per phrase term over flat arrays — no per-doc loop
-        # (the old shape dominated warm phrase serving latency).
-        BIG = np.int64(1) << 33  # positions are int32-bounded
-        cur = None
-        for i, t in enumerate(terms):
-            pl = plists[t]
-            j = np.searchsorted(pl["docs"], cand)
-            plist = pos_by_term[t]
-            per_doc = [np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()]
-            reps = np.fromiter((p.size for p in per_doc), dtype=np.int64, count=len(per_doc))
-            docs_rep = np.repeat(cand.astype(np.int64), reps)
-            pos_cat = (
-                np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.int64)
-            )
-            aligned = pos_cat - i
-            mask = aligned >= 0
-            keys = docs_rep[mask] * BIG + aligned[mask]
-            keys.sort()  # per-doc positions were sorted, not the concat
-            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
-            if cur.size == 0:
-                return np.zeros(0, dtype=np.int64)
-        return np.unique(cur // BIG)
-    # slop > 0: the SAME prefix-max DP, run once over composite keys
-    # doc·BIG + pos for all candidate docs together.  Cross-doc
-    # transitions are rejected automatically: a predecessor from an
-    # earlier doc leaves x − v' ≥ BIG ≫ slop, and when a same-doc
-    # predecessor exists its v dominates the prefix max (its key is
-    # ≥ BIG − max_pos larger), so the DP is exactly the per-doc DP —
-    # without the per-candidate Python loop.
-    BIG = np.int64(1) << 33
-    key_lists = []
+    per_term = []
     for t in terms:
         pl = plists[t]
         j = np.searchsorted(pl["docs"], cand)
         plist = pos_by_term[t]
-        per_doc = [np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()]
-        reps = np.fromiter((p.size for p in per_doc), dtype=np.int64, count=len(per_doc))
-        docs_rep = np.repeat(cand.astype(np.int64), reps)
+        per_term.append([np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()])
+    return _phrase_docs_vec(cand, per_term, slop)
+
+
+def _phrase_docs_vec(
+    cand: np.ndarray, per_term: list[list[np.ndarray]], slop: int
+) -> np.ndarray:
+    """Vectorized phrase matching over candidate docs — shared by the
+    shard scorer and the fielded serving tier.
+
+    ``cand``: sorted candidate doc ids; ``per_term[i]``: one sorted
+    position array per candidate doc for phrase term i.
+
+    Exact (``slop = 0``): term i's occurrence (doc, p) becomes key
+    doc·BIG + (p − i); a phrase occurrence is a key shared by every
+    term — one intersect1d per term, no per-doc loop (the old per-doc
+    shape dominated warm phrase serving latency).
+
+    Sloppy: the prefix-max DP of :func:`_sloppy_match_np`, run ONCE over
+    doc·BIG + pos keys for all docs together.  Cross-doc transitions are
+    rejected automatically (a predecessor from an earlier doc leaves
+    x − v' ≥ BIG ≫ slop, and a same-doc predecessor's v dominates the
+    prefix max), so this is exactly the per-doc DP."""
+    BIG = np.int64(1) << 33  # positions are int32-bounded
+    cand64 = cand.astype(np.int64)
+
+    def keys_for(i: int, align: bool) -> np.ndarray:
+        per_doc = per_term[i]
+        reps = np.fromiter(
+            (p.size for p in per_doc), dtype=np.int64, count=len(per_doc)
+        )
+        docs_rep = np.repeat(cand64, reps)
         pos_cat = np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.int64)
-        key_lists.append(docs_rep * BIG + pos_cat)
-    prev = key_lists[0]
+        if align:
+            pos_cat = pos_cat - i
+            mask = pos_cat >= 0
+            docs_rep, pos_cat = docs_rep[mask], pos_cat[mask]
+        return docs_rep * BIG + pos_cat
+
+    if slop == 0:
+        cur = None
+        for i in range(len(per_term)):
+            keys = keys_for(i, align=True)
+            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            if cur.size == 0:
+                return np.zeros(0, dtype=np.int64)
+        return np.unique(cur // BIG)
+    prev = keys_for(0, align=False)
     v = prev.copy()
-    for ks in key_lists[1:]:
+    for i in range(1, len(per_term)):
         if prev.size == 0:
             return np.zeros(0, dtype=np.int64)
+        ks = keys_for(i, align=False)
         pref = np.maximum.accumulate(v)
         idx = np.searchsorted(prev, ks, side="left")
         ok = idx > 0
