@@ -863,7 +863,8 @@ contrib AS (
   JOIN fstats s ON s.field = p.field
   JOIN matched m ON m.doc_id = p.doc_id
 )
-SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id"""
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id
+ORDER BY SUM(c) DESC, doc_id ASC LIMIT 1000"""
 
     # positional fielded phrase: the oracle is analyzer-independent — a
     # regex over the raw source column (same strategy as ft_phrase)
@@ -916,7 +917,8 @@ contrib AS (
   JOIN fstats s ON s.field = p.field
   JOIN matched m ON m.doc_id = p.doc_id
 )
-SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id"""
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id
+ORDER BY SUM(c) DESC, doc_id ASC LIMIT 1000"""
 
     o["ft_stemmed"] = f"""
 WITH sm(term, stem) AS (VALUES {_sm}),
