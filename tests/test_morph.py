@@ -67,7 +67,7 @@ def test_entity_list_lookup_unique():
     # unique over repeated 041 values, lookup into a named map
     xml = """<metamorph xmlns="http://www.culturegraph.org/metamorph" version="1">
       <rules>
-        <entity name="subjects[]">
+        <entity name="subjects[]" flushWith="record">
           <data source="650[ 0]0.a"><case to="lower"/><unique/></data>
         </entity>
         <entity name="Language">
@@ -92,7 +92,7 @@ def test_filters_replace_split_and_if():
         <data name="title" source="245??.a"><replace pattern="Ein" with="Der"/></data>
         <data name="kept" source="245??.b"><not-equals string="nope"/></data>
         <data name="dropped" source="245??.b"><equals string="nope"/></data>
-        <entity name="langs[]">
+        <entity name="langs[]" flushWith="record">
           <data source="041??.a"><split delimiter=","/></data>
         </entity>
         <combine name="flagged" value="${t}!">
@@ -150,7 +150,7 @@ def test_morph_marc21_spark_surface(spark, tmp_path):
         <combine name="id" value="($[isil])${v}">
           <data name="v" source="001"/></combine>
         <data name="title" source="245??.a"/>
-        <entity name="subjects[]"><data source="650??.a"/></entity>
+        <entity name="subjects[]" flushWith="record"><data source="650??.a"/></entity>
       </rules></metamorph>"""
     out = morph_marc21(spark, str(p), xml).orderBy("record_id").collect()
     assert [r["record_id"] for r in out] == ["R0", "R1", "R2"]
@@ -162,9 +162,10 @@ def test_morph_marc21_spark_surface(spark, tmp_path):
 
 
 def test_morph_marc21_rejects_duplicate_field_records(spark, tmp_path):
-    """A rule set emitting duplicate sibling fields rejects THAT record
-    (the reference backend's duplicate-field parse error → record
-    missing) without failing the job."""
+    """With the INDEXER shaping, a rule set emitting duplicate sibling
+    fields rejects THAT record (the reference backend's duplicate-field
+    parse error → record missing) without failing the job; the default
+    JsonEncoder shaping keeps both records."""
     from limetrans_spark.sources.marc import encode_marc21_record
 
     raws = [
@@ -183,6 +184,9 @@ def test_morph_marc21_rejects_duplicate_field_records(spark, tmp_path):
     p.write_text("".join(raws), encoding="utf-8")
     xml = """<metamorph xmlns="http://www.culturegraph.org/metamorph" version="1">
       <rules><data name="title" source="245??.a"/></rules></metamorph>"""
-    out = morph_marc21(spark, str(p), xml).collect()
+    out = morph_marc21(spark, str(p), xml, shaping="indexer").collect()
     assert [r["record_id"] for r in out] == ["GOOD"]
     assert json.loads(out[0]["record"]) == {"title": "one title"}
+
+    both = morph_marc21(spark, str(p), xml).orderBy("record_id").collect()
+    assert [r["record_id"] for r in both] == ["DUP", "GOOD"]
