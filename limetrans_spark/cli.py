@@ -114,6 +114,19 @@ def _add_filter(sub):
     p.add_argument("--limit", type=int, default=100, help="stdout row cap")
 
 
+def _add_run(sub):
+    p = sub.add_parser(
+        "run",
+        help="run a config-file pipeline (Main.main(config.json) analogue)",
+    )
+    p.add_argument("config", help="JSON settings file")
+    p.add_argument("--env", default=None,
+                   choices=["prod", "dev", "local", "ignore"],
+                   help="environment overlay (Main.java Env)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted-path settings override (repeatable)")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="limetrans-spark")
     ap.add_argument("--master", default=None)
@@ -125,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_search_fielded(sub)
     _add_serve(sub)
     _add_filter(sub)
+    _add_run(sub)
     args = ap.parse_args(argv)
 
     if args.cmd == "serve":  # no SparkSession — the serving-replica path
@@ -159,6 +173,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        if args.cmd == "run":
+            from .plans.config import ConfigError, run_config
+
+            overlay = {}
+            for kv in args.set:
+                key, _, value = kv.partition("=")
+                overlay[key] = value
+            try:
+                report = run_config(
+                    spark, args.config, overlay=overlay or None, env=args.env
+                )
+            except (ConfigError, FileNotFoundError) as e:
+                print(json.dumps({"ok": False, "error": str(e)}))
+                return 1
+            print(json.dumps(report))
+            return 0 if report.get("ok") else 1
         if args.cmd == "build":
             corpus = spark.read.parquet(args.input)
             rep = lc.build_and_publish(

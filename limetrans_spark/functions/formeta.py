@@ -28,7 +28,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_PLAIN = re.compile(r"[A-Za-z0-9_.\-]+")
+# quoting is needed only for whitespace and Formeta's structural
+# characters ({ } , : quots and the escape char) — everything else is a
+# bare atom (e.g. N$T, (DE-588)4084672-6)
+_PLAIN = re.compile(r"[^\s{},:'\"\\]+")
 
 Pairs = list[tuple[str, object]]  # value: str | Pairs
 

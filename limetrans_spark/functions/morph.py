@@ -174,6 +174,7 @@ class _Func:
     STATELESS = {
         "trim", "case", "substring", "regexp", "replace", "constant",
         "equals", "not-equals", "lookup", "split", "compose", "java",
+        "switch-name-value",
     }
     STATEFUL = {"unique", "occurrence"}
 
@@ -197,7 +198,11 @@ class _Func:
             self.occ_n = int(m.group(2))
             self.occ_same_entity = attrs.get("sameEntity") == "true"
 
-    def apply(self, v: str, state: dict, engine) -> list[str]:
+    def apply(self, v: str | None, state: dict, engine) -> list[str]:
+        if v is None:
+            # a null literal (absent record-type attribute) has no value
+            # for any function to transform — drop it
+            raise _Reject()
         a = self.attrs
         k = self.kind
         if k == "trim":
@@ -304,7 +309,10 @@ class _Data(_Node):
             raise ValueError("<data> without source")
         self.source = src
         name = el.get("name")
-        self.name = subst(name) if name is not None else src
+        # fixed name when given; otherwise the DISPATCHED path (dynamic —
+        # matters for wildcard sources and switch-name-value)
+        self.name = subst(name) if name is not None else None
+        self.default_name = src  # combine's needed-set key
         self.funcs = []
         self.cond = None
         for c in el:
@@ -324,23 +332,26 @@ class _Data(_Node):
     def on_condition(self):
         self.cond_met = True
 
-    def on_match(self, value: str):
+    def on_match(self, path: str, value: str):
         if not self.cond_met:
             return
-        vals = [value]
+        pairs = [(path, value)]
         state = self.engine.state
         for f in self.funcs:
-            nxt: list[str] = []
-            for v in vals:
+            if f.kind == "switch-name-value":
+                pairs = [(v, n) for n, v in pairs]
+                continue
+            nxt: list[tuple[str, str]] = []
+            for n, v in pairs:
                 try:
-                    nxt.extend(f.apply(v, state, self.engine))
+                    nxt.extend((n, out) for out in f.apply(v, state, self.engine))
                 except _Reject:
                     pass
-            vals = nxt
-            if not vals:
+            pairs = nxt
+            if not pairs:
                 return
-        for v in vals:
-            self.receiver.receive(self.name, v, self)
+        for n, v in pairs:
+            self.receiver.receive(self.name if self.name is not None else n, v, self)
 
 
 class _CondShim:
@@ -820,7 +831,9 @@ class Morph:
                 if built is not None or kind not in ("all", "any"):
                     idx += 1
                 if kind == "combine" and built is not None:
-                    name = getattr(built, "name", None)
+                    name = getattr(built, "name", None) or getattr(
+                        built, "default_name", None
+                    )
                     if name:
                         node.needed.add(name)
             if kind in ("all", "any", "entity"):
@@ -851,7 +864,7 @@ class Morph:
     def dispatch(self, path: str, value: str):
         for rx, node in self.registry:
             if rx.match(path):
-                node.on_match(value)
+                node.on_match(path, value)
         for pats, _rec, col in self.flush_regs:
             for rx in pats:
                 if rx.match(path):
@@ -946,6 +959,10 @@ def marcxml_record_events(xml_text: str) -> list[tuple[str | None, list[tuple]]]
     for rec in nodes:
         rid = None
         events: list[tuple] = []
+        # MarcXmlHandler always emits the record's type attribute as the
+        # first literal — null-valued when the attribute is absent (the
+        # nonull rule set exists to filter exactly this)
+        events.append(("literal", "type", rec.get("type")))
         for el in rec:
             name = local(el.tag)
             # MarcXmlHandler trims accumulated character data
@@ -973,35 +990,32 @@ def marcxml_record_events(xml_text: str) -> list[tuple[str | None, list[tuple]]]
 def marc21_record_events(raw: str) -> tuple[str | None, list[tuple]]:
     """One ISO 2709 record → (record_id, events), with real field-
     instance boundaries from the directory."""
-    from ..sources.marc import parse_marc21_record
+    from ..sources.marc import parse_marc21_grouped
 
-    rid, leader, fields = parse_marc21_record(raw)
+    rid, leader, fields = parse_marc21_grouped(raw)
     events: list[tuple] = []
     if leader:
-        events.append(("literal", "leader", leader))
-    open_key: tuple | None = None  # (tag, i1, i2) of the open entity
-
-    def close():
-        nonlocal open_key
-        if open_key is not None:
-            events.append(("end",))
-            open_key = None
-
-    for tag, i1, i2, code, value in fields:
-        if code is None:
-            close()
-            events.append(("literal", tag, value))
+        # Marc21Decoder emits the leader as a structured entity (coded
+        # positions as named literals), unlike MarcXmlHandler's single
+        # "leader" literal for MARCXML
+        events.append(("start", "leader"))
+        for name, pos in (
+            ("status", 5), ("type", 6), ("bibliographicLevel", 7),
+            ("typeOfControl", 8), ("characterCodingScheme", 9),
+            ("encodingLevel", 17), ("catalogingForm", 18),
+            ("multipartLevel", 19),
+        ):
+            if pos < len(leader):
+                events.append(("literal", name, leader[pos]))
+        events.append(("end",))
+    for tag, inds, payload in fields:
+        if inds is None:
+            events.append(("literal", tag, payload))
         else:
-            # parse_marc21_record flattens per directory entry with
-            # subfields contiguous; contiguous rows of one (tag,i1,i2)
-            # key form one field instance.
-            key = (tag, i1, i2)
-            if key != open_key:
-                close()
-                events.append(("start", tag + (i1 or " ") + (i2 or " ")))
-                open_key = key
-            events.append(("literal", code, value))
-    close()
+            events.append(("start", tag + inds))
+            for code, value in payload:
+                events.append(("literal", code, value))
+            events.append(("end",))
     return rid, events
 
 

@@ -108,6 +108,47 @@ def parse_marc21_record(rec: str) -> tuple[str | None, str, list[tuple]]:
     return record_id, leader, out
 
 
+def parse_marc21_grouped(rec: str) -> tuple[str | None, str, list[tuple]]:
+    """Like :func:`parse_marc21_record` but with REAL field-instance
+    boundaries: one group per directory entry —
+    ``(tag, None, value)`` for control fields,
+    ``(tag, ind1+ind2, [(code, value)…])`` for data fields.  Two
+    consecutive identical fields stay two instances (the reference's
+    Marc21Decoder emits one entity per directory entry)."""
+    if len(rec) < 26:
+        raise ValueError("truncated MARC record")
+    leader = rec[:24]
+    dir_end = rec.index(FT, 24)
+    directory = rec[24:dir_end]
+    if len(directory) % 12 != 0:
+        raise ValueError("malformed MARC directory")
+    tags = [directory[i : i + 3] for i in range(0, len(directory), 12)]
+    body = rec[dir_end + 1 :]
+    if body.endswith(RT):
+        body = body[:-1]
+    raw_fields = body.split(FT)
+    if raw_fields and raw_fields[-1] == "":
+        raw_fields.pop()
+    if len(raw_fields) != len(tags):
+        raise ValueError(
+            f"directory lists {len(tags)} fields but record has {len(raw_fields)}"
+        )
+    out: list[tuple] = []
+    record_id: str | None = None
+    for tag, data in zip(tags, raw_fields):
+        if tag < "010":
+            out.append((tag, None, data))
+            if tag == "001":
+                record_id = data
+            continue
+        inds = data[:2] if len(data) >= 2 else "  "
+        subs = [
+            (chunk[0], chunk[1:]) for chunk in data[2:].split(SF) if chunk
+        ]
+        out.append((tag, inds, subs))
+    return record_id, leader, out
+
+
 def encode_marc21_record(leader_template: str, fields: list[tuple]) -> str:
     """ISO 2709 encoder (test vectors + MARC sink).
 

@@ -57,7 +57,7 @@ def test_spark_encode_decode_and_filequeue_processor(spark, tmp_path):
     )
     enc = df.select("rid", FM.formeta_encode_udf()(F.col("rid"), F.col("record")).alias("t"))
     rows = {r["rid"]: r["t"] for r in enc.collect()}
-    assert rows["r1"] == "r1{ 001: ocm1, 040: 'N$T', 040: OCL }"
+    assert rows["r1"] == "r1{ 001: ocm1, 040: N$T, 040: OCL }"  # $ is a bare atom char (reference formeta.formeta golden)
     # write a stream file and read it back through the processor
     p = tmp_path / "out.formeta"
     p.write_text(" ".join(rows.values()))
