@@ -42,6 +42,12 @@ MAX_EXPANSIONS = 128
 class LocalSearcher:
     """In-memory searcher over a built/published index."""
 
+    @staticmethod
+    def _pa(vals):
+        import pyarrow as pa
+
+        return pa.array(vals)
+
     def __init__(
         self,
         shard_rows: list,
@@ -67,6 +73,11 @@ class LocalSearcher:
             self._raw[key] = r
             self._shards.add(key[0])
         self._decoded: dict[tuple[int, str], dict] = {}
+        # columnar snapshot backend (set by from_snapshot): rows are
+        # fetched lazily by index so posting blobs never materialize as
+        # Python objects until a query touches their term
+        self._table = None
+        self._rowidx: dict[tuple[int, str], int] = {}
         self._dl: dict[int, np.ndarray] = {}
         for r in shard_dl_rows:
             sh = int(r["shard"])
@@ -109,28 +120,51 @@ class LocalSearcher:
         import json as _json
         import os as _os
 
+        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         with open(_os.path.join(snap, "manifest.json")) as f:
             m = _json.load(f)
-        shards = _pq.read_table(_os.path.join(snap, "shards")).to_pylist()
-        sdl = _pq.read_table(_os.path.join(snap, "shard_dl")).to_pylist()
+        table = _pq.read_table(_os.path.join(snap, "shards")).combine_chunks()
+        sdl_t = _pq.read_table(_os.path.join(snap, "shard_dl"))
         if shard_subset is not None:
-            keep = set(shard_subset)
-            shards = [r for r in shards if int(r["shard"]) in keep]
-            sdl = [r for r in sdl if int(r["shard"]) in keep]
-        terms = _pq.read_table(
+            keep = list(set(shard_subset))
+            table = table.filter(
+                _pc.is_in(table.column("shard"), value_set=cls._pa(keep))
+            ).combine_chunks()
+            sdl_t = sdl_t.filter(
+                _pc.is_in(sdl_t.column("shard"), value_set=cls._pa(keep))
+            )
+        sdl = sdl_t.to_pylist()  # one small row per shard
+        terms_t = _pq.read_table(
             _os.path.join(snap, "terms"), columns=["term", "df"]
-        ).to_pylist()
-        return cls(
-            shards,
+        )
+        term_df = dict(
+            zip(
+                terms_t.column("term").to_pylist(),
+                terms_t.column("df").to_pylist(),
+            )
+        )
+        self = cls(
+            [],
             sdl,
-            {r["term"]: int(r["df"]) for r in terms},
+            term_df,
             m["n_docs"],
             m["avgdl"],
             m["shard_size"],
             analyzer=m.get("metrics", {}).get("analyzer"),
         )
+        # columnar backend: key → row index only; blobs stay in Arrow
+        # buffers until first use (the startup cost is the key scan, not
+        # posting materialization)
+        self._table = table
+        shards_np = table.column("shard").to_numpy()
+        terms_np = table.column("term").to_pylist()
+        self._rowidx = {
+            (int(s), t): i for i, (s, t) in enumerate(zip(shards_np, terms_np))
+        }
+        self._shards.update(int(s) for s in set(shards_np.tolist()))
+        return self
 
     # -- plumbing -----------------------------------------------------------
 
@@ -139,6 +173,17 @@ class LocalSearcher:
         if key in self._decoded:
             return self._decoded[key]
         r = self._raw.get(key)
+        if r is None and self._table is not None:
+            i = self._rowidx.get(key)
+            if i is not None:
+                cols = self._table
+                r = {
+                    name: cols.column(name)[i].as_py()
+                    for name in (
+                        "doc_blob", "tf_blob", "n",
+                        "block_last", "block_max_tf", "pos_blob",
+                    )
+                }
         if r is None:
             return None
         base = shard * self.shard_size
