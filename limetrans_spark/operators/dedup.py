@@ -502,7 +502,8 @@ def near_dup_clusters(
     pairs: DataFrame,
     ids: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 30,
+    max_iter: int = 50,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters → (doc_id, cluster_id), with
     ``cluster_id`` = the smallest doc id in the connected component —
@@ -510,74 +511,143 @@ def near_dup_clusters(
     :func:`minhash_lsh_candidates` / :func:`embedding_lsh_pairs`
     (keep ``doc_id == cluster_id``, drop the rest).
 
-    Algorithm: iterative min-label propagation (the DataFrame-native
-    connected-components shape).  Each round is ONE shuffle keyed by
-    doc id: neighbors' labels aggregate with min, each node keeps the
-    smaller of its own and the best neighbor label.  Labels only
-    decrease, so the exact int64 label-sum is a monotone convergence
-    witness — fixpoint when the sum stops changing, with no old-vs-new
-    join.  Rounds needed = graph diameter; near-dup components are
-    dense (small diameter), and ``max_iter`` guards pathological chains
-    (raises rather than returning a half-propagated clustering).
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    same algorithm GraphFrames ships).  Each half-round, every node u
+    computes ``m = min(Γ(u) ∪ {u})`` (one shuffle: symmetrize + groupBy
+    min) and rewires edges: large-star attaches u's strictly-larger
+    neighbors to m, small-star attaches u itself and its ≤-neighbors to
+    m.  The edge set never grows, the graph stays connected, and the
+    alternation provably converges in O(log² n) rounds to stars
+    centered at each component's minimum — in practice ~10 rounds for a
+    10k-node graph mixing cliques, 2000-node chains, stars and random
+    edges.  (The previous min-label-propagation + pointer-jump loop
+    needed O(diameter) rounds on exactly such graphs: ``label[label]``
+    only doubles reach when component ids ascend along the chain, which
+    real pair graphs don't guarantee.)  Fixpoint = edge-set equality
+    with the previous round, checked exactly via counts
+    (|A|=|B| ∧ |A∪B|=|A| ⟺ A=B for distinct sets); ``max_iter`` raises
+    rather than returning a half-resolved clustering.
 
-    Deterministic at any parallelism (min is order-free).  Each round
-    ends in an EAGER ``localCheckpoint``: the round's plan references
-    the previous labels twice (neighbor aggregation + self), so without
-    lineage truncation the analyzed plan DOUBLES per round — a chain
-    graph needing ~30 rounds OOMs the driver just materializing the
-    plan tree (found at sf0.001, where the 31-term vocabulary produces
-    chain-shaped near-dup components).  The checkpoint bounds every
-    round at a constant-size plan; on a multi-executor cluster with
-    executor loss in play, set a reliable ``spark.checkpoint.dir`` and
-    swap ``localCheckpoint`` for ``checkpoint`` — same contract.  The
-    result's blocks are materialized (caller owns them — same contract
-    as the pair generators).
+    Deterministic at any parallelism (min is order-free).  Round
+    hygiene — the cross-round edge table is written to ``scratch_dir``
+    as parquet and re-read each round, NOT cached or checkpointed, for
+    two reasons found the hard way:
+
+    * lineage: each round references the previous edges several times;
+      without truncation the analyzed plan grows geometrically and a
+      ~30-round run OOMs the driver materializing the plan tree;
+    * statistics: ``localCheckpoint`` truncates lineage but PRESERVES
+      the plan's size-in-bytes stat (``LogicalRDD`` ``originStats``),
+      and Catalyst's join-size estimate is the PRODUCT of child sizes —
+      carried across rounds the leaf stat exponentiates (digit count
+      ~6× per round) until planning burns minutes of driver CPU doing
+      BigInteger Karatsuba multiplies inside
+      ``SizeInBytesOnlyStatsPlanVisitor`` (observed: round 12 of a
+      10k-node graph took 68 s, ~5× the round before).  A parquet
+      round-trip makes the next round's leaf a plain file scan with
+      HONEST statistics — the reliable-checkpoint pattern GraphFrames
+      uses.
+
+    ``scratch_dir`` defaults to a driver-local temp dir (right for
+    local mode); on a real cluster pass a path on shared storage.  The
+    round-trip is one narrow (a, b) edge table that shrinks toward
+    n - #components rows, so its I/O is dwarfed by the round's own
+    shuffles.  The result's blocks are materialized (caller owns them —
+    same contract as the pair generators).
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    own_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="near_dup_cc_")
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        .persist()
-    )
-    labels = (
-        ids.select(F.col(id_col).alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        cand = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nlabel"))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
         )
-        new_labels = (
-            labels.join(cand, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        joined = sym.join(mins, "u")
+        if large:
+            # attach strictly-larger neighbors to m: m ≤ u < v, so the
+            # emitted pair is already (lo, hi) = (m, v) and never a loop
+            return joined.where(F.col("v") > F.col("u")).select(
+                F.col("m").alias("a"), F.col("v").alias("b")
             )
-            .localCheckpoint(eager=True)  # truncate lineage: see docstring
+        # small-star: attach ≤-neighbors and u itself to m (m ≤ v ≤ u)
+        return (
+            joined.where((F.col("v") <= F.col("u")) & (F.col("v") != F.col("m")))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(
+                mins.where(F.col("u") != F.col("m")).select(
+                    F.col("m").alias("a"), F.col("u").alias("b")
+                )
+            )
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
+
+    init_dir = f"{scratch}/round_init"
+    (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(init_dir)
+    )
+    edges = spark.read.parquet(init_dir)
+    prev_count = edges.count()
+    converged = False
+    prev_round_dir = init_dir
+    for rnd in range(max_iter):
+        round_dir = f"{scratch}/round_{rnd}"
+        star(star(edges, large=True), large=False).distinct().write.mode(
+            "overwrite"
+        ).parquet(round_dir)
+        new_edges = spark.read.parquet(round_dir)
+        new_count = new_edges.count()
+        # exact set equality for two distinct sets via counts
+        same = new_count == prev_count and (
+            new_edges.unionByName(edges).distinct().count() == new_count
+        )
+        if own_scratch:
+            shutil.rmtree(prev_round_dir, ignore_errors=True)
+        prev_round_dir = round_dir
+        edges, prev_count = new_edges, new_count
+        if same:
             converged = True
             break
-        prev_sum = cur_sum
-    edges.unpersist()
     if not converged:
-        labels.unpersist()
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} rounds "
-            "(pathological chain graph? raise max_iter)"
+            "(pathological graph? raise max_iter)"
         )
-    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
-    # labels is already persisted and materialized; hand ownership over
+    # final state is stars centered at each component's min: a leaf's
+    # minimum neighbor IS the center; isolated ids label themselves
+    nbrmin = (
+        edges.select(F.col("a").alias("id"), F.col("b").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("id"), F.col("a").alias("v")))
+        .groupBy("id")
+        .agg(F.min("v").alias("nbrmin"))
+    )
+    out = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(nbrmin, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.least("id", F.coalesce("nbrmin", "id")).alias("cluster_id"),
+        )
+        # detach the result from the scratch files before cleanup
+        .localCheckpoint(eager=True)
+    )
+    if own_scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
     return out

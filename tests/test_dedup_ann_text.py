@@ -370,3 +370,62 @@ def test_near_dup_clusters_chain_graph_lineage(spark):
     out = dedup.near_dup_clusters(pairs, ids, max_iter=n + 2)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dup_clusters_union_find_at_scale(spark):
+    """Scale-honest clustering gate (round-5): a NON-degenerate pair
+    graph — 10k nodes in mixed components (cliques, long chains, stars,
+    singletons) — resolved by the engine must equal a plain union-find
+    over the same edges.  This covers the unbounded path the
+    ``dedup_clusters`` correctness gate bounds to 1000 docs, and the
+    long chains exercise the large-star/small-star round bound (the
+    2000-node path must converge well inside max_iter=30; the
+    alternation takes ~10 rounds on this graph)."""
+    import random
+
+    rng = random.Random(7)
+    n = 10_000
+    edges = []
+    # 100 cliques of 8
+    base = 0
+    for _ in range(100):
+        members = list(range(base, base + 8))
+        edges += [(a, b) for a in members for b in members if a < b]
+        base += 8
+    # one 2000-node chain (diameter stress)
+    chain = list(range(base, base + 2000))
+    edges += list(zip(chain, chain[1:]))
+    base += 2000
+    # 50 stars of 20
+    for _ in range(50):
+        hub = base
+        edges += [(hub, base + i) for i in range(1, 20)]
+        base += 20
+    # random extra edges among a middle slice
+    for _ in range(500):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(16)
+
+    out = dedup.near_dup_clusters(pairs, ids, max_iter=30)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+    # oracle: union-find with path compression
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: component label = min id (find gives the min because
+    # unions always attach the larger root under the smaller)
+    want = {i: find(i) for i in range(n)}
+    assert got == want
