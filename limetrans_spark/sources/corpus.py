@@ -180,3 +180,63 @@ def read_corpus(
     if missing:
         raise ValueError(f"corpus table is missing columns {missing}; has {df.columns}")
     return df.select(*[c for c in df.columns if c in set(columns) | {"doc_id"}])
+
+
+def rich_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    vocab: int = 20_000,
+    seed: int = DEFAULT_SEED,
+    min_tokens: int = 30,
+    max_tokens: int = 400,
+    dup_rate: float = 0.05,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Non-degenerate scale-probe corpus: ``vocab`` distinct identifiers
+    under a Zipf(1.3) frequency law plus the license boilerplate on ~5%
+    of rows, and ``dup_rate`` of rows generated as exact duplicates of
+    an earlier row (dedup ground truth).  Same determinism contract as
+    :func:`synth_corpus` (per-row PCG64 keyed by (seed, id)); exists
+    because the 31-term default corpus makes every similarity join
+    degenerate — expansion caps, df-ceilings and cluster resolution
+    need a vocabulary that binds them realistically (round-4 verdict
+    "Next round #8")."""
+    base = spark.range(0, n_rows, 1,
+                       partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out_id, out_text = [], []
+            for i in ids:
+                i = int(i)
+                rng = np.random.Generator(np.random.PCG64(seed * 9_999_991 + i))
+                if i > 0 and rng.random() < dup_rate:
+                    src = int(rng.integers(0, i))
+                    rng2 = np.random.Generator(
+                        np.random.PCG64(seed * 9_999_991 + src)
+                    )
+                    if rng2.random() < dup_rate:
+                        # keep ground truth simple: duplicate only
+                        # non-dup originals
+                        rng2 = rng
+                        src = i
+                    out_id.append(i)
+                    out_text.append(_rich_text(rng2, vocab, min_tokens, max_tokens))
+                    continue
+                out_id.append(i)
+                out_text.append(_rich_text(rng, vocab, min_tokens, max_tokens))
+            yield pd.DataFrame({"doc_id": out_id, "text": out_text})
+
+    return base.mapInPandas(gen, "doc_id long, text string")
+
+
+def _rich_text(rng, vocab: int, min_tokens: int, max_tokens: int) -> str:
+    n = int(np.clip(rng.lognormal(mean=4.5, sigma=0.7), min_tokens, max_tokens))
+    # Zipf over the vocabulary: realistic head/tail df skew
+    ranks = rng.zipf(1.3, size=n)
+    ranks = np.clip(ranks, 1, vocab) - 1
+    toks = [f"id{r}x{r % 97}" for r in ranks]
+    if rng.random() < 0.05:
+        toks.append(LICENSE)
+    return " ".join(toks)

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Gate-scale probe beyond sf0.1: a 100k-doc / 20k-vocab corpus
+(sources.corpus.rich_corpus) driven through the paths whose caps and
+skew handling only BIND at realistic vocabulary sizes — the round-4
+verdict's "Next round #8".
+
+Checks (each an assertion, not just a timing):
+  * build_index over 100k docs; DF-tier vs sharded WAND rank identity
+    on common/rare/mixed queries (the core engine invariant at a scale
+    where block-max pruning actually skips blocks);
+  * prefix expansion: the top-128-by-df cap BINDS (matching vocab >
+    128) and both tiers agree under it;
+  * exact dedup finds the planted ~5% duplicate rows;
+  * MinHash-LSH candidates ⊇ planted exact dups (recall on true dups);
+  * near_dup_clusters on the LSH pair graph == driver union-find.
+
+Prints ONE JSON line (timings + invariant booleans + host-noise probe);
+the transcript is committed per round as BENCH/scale_probe_r{N}.json.
+
+Run: python tools/scale_probe.py [n_docs] (default 100000)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import noise_probe  # noqa: E402
+from limetrans_spark.operators import dedup  # noqa: E402
+from limetrans_spark.operators import query as Q  # noqa: E402
+from limetrans_spark.operators.build import build_index  # noqa: E402
+from limetrans_spark.session import get_spark  # noqa: E402
+from limetrans_spark.sources.corpus import rich_corpus  # noqa: E402
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    return out, dt
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(n_docs: int = 100_000) -> int:
+    probes = [noise_probe()]
+    res: dict = {"metric": "scale-probe", "n_docs": n_docs, "vocab": 20_000}
+    spark = get_spark(
+        app_name="scale-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = rich_corpus(spark, n_docs, vocab=20_000, partitions=32).persist()
+    _, t_gen = timed(docs.count)
+    res["gen_sec"] = round(t_gen, 2)
+    log(f"gen {t_gen:.1f}s")
+
+    # --- build + rank identity -------------------------------------------
+    idx, t_build = timed(
+        lambda: build_index(docs, text_col="text", analyzer="simple",
+                            shard_size=1 << 13)
+    )
+    idx.postings.persist().count()
+    res["build_sec"] = round(t_build, 2)
+    res["build_docs_per_sec"] = round(n_docs / t_build, 1)
+    log(f"build {t_build:.1f}s")
+
+    rank_ok = True
+    q_times = {}
+    for name, q in [
+        ("common", "id1x1 id2x2"),
+        ("rare_or", "id19000x76 | id18500x62"),
+        ("mixed_not", "id1x1 -id17000x69"),
+    ]:
+        a, ta = timed(lambda: [
+            (r.doc_id, round(r.score, 9))
+            for r in Q.bm25_topk_df(idx, q, k=20).collect()
+        ])
+        b, tb = timed(lambda: [
+            (r.doc_id, round(r.score, 9))
+            for r in Q.bm25_topk_sharded(idx, q, k=20).collect()
+        ])
+        rank_ok = rank_ok and a == b
+        q_times[name] = {"df_sec": round(ta, 2), "wand_sec": round(tb, 2)}
+    res["rank_identical"] = rank_ok
+    res["queries"] = q_times
+
+    # --- prefix cap binds at this vocab ----------------------------------
+    n_match = idx.terms.filter(F.col("term").startswith("id1")).count()
+    a = [(r.doc_id, round(r.score, 9))
+         for r in Q.bm25_topk_df(idx, "id1*", k=20).collect()]
+    b = [(r.doc_id, round(r.score, 9))
+         for r in Q.bm25_topk_sharded(idx, "id1*", k=20).collect()]
+    res["prefix_vocab_matches"] = int(n_match)
+    res["prefix_cap_binds"] = bool(n_match > 128)
+    res["prefix_rank_identical"] = a == b
+    res["rank_identical"] = res["rank_identical"] and a == b
+
+    # --- dedup ground truth ----------------------------------------------
+    exact, t_exact = timed(
+        lambda: dedup.exact_dedup(docs, id_col="doc_id", text_col="text")
+        .filter(F.col("is_dup") == 1).count()
+    )
+    res["exact_dedup_sec"] = round(t_exact, 2)
+    res["exact_dups_found"] = int(exact)
+    log(f"exact {t_exact:.1f}s dups={exact}")
+    res["exact_dups_plausible"] = bool(
+        0.02 * n_docs < exact < 0.10 * n_docs
+    )
+
+    # --- MinHash-LSH recall on true dups + cluster resolution ------------
+    # 3-gram shingles: the production near-dup feature (unigram sets on
+    # a Zipf vocabulary share their head tokens, which makes every doc
+    # pair a MinHash candidate — shingles keep candidates ≈ true dups)
+    pairs, t_mh = timed(
+        lambda: dedup.minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, id_col="doc_id", text_col="text",
+            ngram=3,
+        ).persist()
+    )
+    n_pairs = pairs.count()
+    res["minhash_sec"] = round(t_mh, 2)
+    res["minhash_pairs"] = int(n_pairs)
+    log(f"minhash {t_mh:.1f}s pairs={n_pairs}")
+    # identical texts agree on every band → all exact-dup pairs are
+    # candidates; spot-check via hash-join count
+    texts = docs.select("doc_id", F.sha2("text", 256).alias("h"))
+    dup_pairs = (
+        texts.alias("a").join(texts.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    missed = dup_pairs.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    res["minhash_missed_true_dups"] = int(missed)
+
+    clusters, t_cc = timed(
+        lambda: dedup.near_dup_clusters(pairs, docs.select("doc_id"))
+    )
+    got, t_collect = timed(
+        lambda: {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    )
+    res["clusters_sec"] = round(t_cc + t_collect, 2)
+    log(f"clusters {t_cc:.1f}s")
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a_, b_ in edge_list:
+        ra, rb = find(a_), find(b_)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    res["clusters_match_union_find"] = bool(
+        got == {i: find(i) for i in range(n_docs)}
+    )
+
+    probes.append(noise_probe())
+    res["noise_probe_sec"] = [round(p, 4) for p in probes]
+    res["ok"] = bool(
+        res["rank_identical"]
+        and res["prefix_cap_binds"]
+        and res["prefix_rank_identical"]
+        and res["exact_dups_plausible"]
+        and res["minhash_missed_true_dups"] == 0
+        and res["clusters_match_union_find"]
+    )
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 100_000))
