@@ -23,6 +23,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import SparkSession
+
 from .operators import query as Q
 from .operators.filter import Filter
 from .plans import lifecycle as lc
@@ -166,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"doc_id": d, "score": round(s, 6)}))
         return 0
 
+    # Only stop the session on exit if this process created it: when the
+    # CLI is driven in-process (tests, notebooks) the active session is
+    # borrowed and stopping it would kill the caller's SparkContext.
+    borrowed = SparkSession.getActiveSession() is not None
     spark = get_spark(
         app_name=f"limetrans-{args.cmd}",
         master=args.master,
@@ -263,7 +269,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 1
     finally:
-        spark.stop()
+        if not borrowed:
+            spark.stop()
 
 
 if __name__ == "__main__":
