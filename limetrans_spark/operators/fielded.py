@@ -240,7 +240,8 @@ _FIELD_PREFIX = re.compile(r"^(-?)([A-Za-z_][\w.]*):(.+)$", re.S)
 
 
 def parse_fielded_query(
-    q: str, default_field: str, analyzers: dict[str, str] | None = None
+    q: str, default_field: str, analyzers: dict[str, str] | None = None,
+    unordered_slop: bool = False,
 ) -> ParsedQuery:
     """``field:term`` / ``field:"a b"`` / bare terms (→ default field),
     with the same AND/OR/NOT structure as :func:`query.parse_query`.
@@ -270,7 +271,7 @@ def parse_fielded_query(
                 f"field {fname!r} is indexed with analyzer {an_name!r}, which has "
                 f"no query-side twin (supported: {sorted(_QUERY_ANALYZERS)})"
             )
-        sub = parse_query(tok, analyze=analyze)
+        sub = parse_query(tok, analyze=analyze, unordered_slop=unordered_slop)
         if not sub.groups:
             continue
         clause = sub.groups[0][0]
@@ -321,16 +322,43 @@ def _expand_fuzzy_fielded(index: FieldedIndex, fname: str, term: str, fuzz: int)
 
 
 def _phrase_docs_fielded(
-    p: DataFrame, terms: tuple[str, ...], slop: int = 0
+    p: DataFrame, terms: tuple[str, ...], slop: int = 0, in_order: bool = True
 ) -> DataFrame:
     """True positional phrase inside one field: iterative position joins
     over the materialized ``positions`` arrays — entirely JVM-side
     (array_intersect / transform; the :func:`query._sloppy_step` DP for
-    ``slop > 0``), one equi-join on doc_id per phrase term.  COPY_GAP
-    offsets make cross-source phrases unsatisfiable in copy_to targets
-    by construction (slop budgets ≪ COPY_GAP can't bridge the gap)."""
+    ordered ``slop > 0``; the nested sliding-window expression of
+    :func:`query.phrase_match_df` for ``in_order=False``), one equi-join
+    on doc_id per phrase term.  COPY_GAP offsets make cross-source
+    phrases unsatisfiable in copy_to targets by construction (slop
+    budgets ≪ COPY_GAP can't bridge the gap, ordered or not)."""
     from .query import _sloppy_init, _sloppy_step
 
+    if slop > 0 and not in_order:
+        if len(set(terms)) < len(terms):
+            raise ValueError(
+                f"unordered slop does not support repeated phrase terms: {terms}"
+            )
+        from .query import _adjust_pos, _window_covered
+
+        k = len(terms)
+        cur = p.filter(F.col("term") == terms[0]).select(
+            "doc_id",
+            F.transform(F.col("positions"), _adjust_pos(k)).alias("q0"),
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = p.filter(F.col("term") == t).select(
+                "doc_id",
+                F.transform(F.col("positions"), _adjust_pos(k - i)).alias(f"q{i}"),
+            )
+            cur = cur.join(nxt, "doc_id")
+        qcols = [F.col(f"q{i}") for i in range(k)]
+        allq = F.flatten(F.array(*qcols))
+        return (
+            cur.filter(F.exists(allq, _window_covered(qcols, slop)))
+            .select("doc_id")
+            .distinct()
+        )
     if slop > 0:
         cur = p.filter(F.col("term") == terms[0]).select(
             "doc_id", _sloppy_init(F.col("positions")).alias("st")
@@ -396,7 +424,7 @@ def _clause_docs(
             raise ValueError(
                 "fielded phrase queries require an index built with_positions=True"
             )
-        return _phrase_docs_fielded(p, c.terms, slop=c.slop)
+        return _phrase_docs_fielded(p, c.terms, slop=c.slop, in_order=c.in_order)
     raise ValueError(f"fielded path does not support clause kind {c.kind!r}")
 
 
@@ -673,7 +701,8 @@ class LocalFieldedSearcher:
     # -- matching -----------------------------------------------------------
 
     def _phrase_docset(
-        self, fname: str, terms: tuple[str, ...], slop: int = 0
+        self, fname: str, terms: tuple[str, ...], slop: int = 0,
+        in_order: bool = True,
     ) -> set[int]:
         import numpy as np
 
@@ -695,7 +724,9 @@ class LocalFieldedSearcher:
         for p in pls:
             j = np.searchsorted(p[0], cand)
             per_term.append([np.asarray(p[2][jj], dtype=np.int64) for jj in j.tolist()])
-        return {int(d) for d in _phrase_docs_vec(cand, per_term, slop)}
+        return {
+            int(d) for d in _phrase_docs_vec(cand, per_term, slop, in_order=in_order)
+        }
 
     def _clause_docset(self, c: Clause, fname: str, expansions: dict) -> set[int]:
         if c.kind == "term":
@@ -709,16 +740,21 @@ class LocalFieldedSearcher:
                     out.update(pl[0].tolist())
             return out
         if c.kind == "phrase":
-            return self._phrase_docset(fname, c.terms, slop=c.slop)
+            return self._phrase_docset(
+                fname, c.terms, slop=c.slop, in_order=c.in_order
+            )
         raise ValueError(f"fielded serving does not support clause kind {c.kind!r}")
 
     def search(
-        self, query: str | ParsedQuery, k: int = 10, default_field: str = "all"
+        self, query: str | ParsedQuery, k: int = 10, default_field: str = "all",
+        unordered_slop: bool = False,
     ) -> list[tuple[int, float]]:
         pq = (
             query
             if isinstance(query, ParsedQuery)
-            else parse_fielded_query(query, default_field, self.analyzers)
+            else parse_fielded_query(
+                query, default_field, self.analyzers, unordered_slop=unordered_slop
+            )
         )
         k = min(k, MAX_HITS)
         expansions: dict[tuple, list[str]] = {}
@@ -1073,7 +1109,8 @@ class LocalFieldedSharded:
         return out
 
     def search(
-        self, query: "str | ParsedQuery", k: int = 10, default_field: str | None = None
+        self, query: "str | ParsedQuery", k: int = 10,
+        default_field: str | None = None, unordered_slop: bool = False,
     ) -> list[tuple[int, float]]:
         import numpy as np
 
@@ -1083,7 +1120,9 @@ class LocalFieldedSharded:
         pq = (
             query
             if isinstance(query, ParsedQuery)
-            else parse_fielded_query(query, default_field, self.analyzers)
+            else parse_fielded_query(
+                query, default_field, self.analyzers, unordered_slop=unordered_slop
+            )
         )
         k = min(k, MAX_HITS)
         expansions: dict[tuple, list[str]] = {}

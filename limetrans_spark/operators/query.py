@@ -104,6 +104,10 @@ class Clause:
     fuzz: int = 0  # max edit distance for kind == "fuzzy"
     field_name: str | None = None  # set by the fielded parser; None = default field
     slop: int = 0  # phrase slop: total extra-gap budget for kind == "phrase"
+    # ordered (default) = strictly order-preserving NEAR; False = Lucene-style
+    # out-of-order slop (see parse_query(unordered_slop=True)); only
+    # meaningful when slop > 0
+    in_order: bool = True
 
 
 @dataclass
@@ -127,11 +131,25 @@ _FUZZY = re.compile(r"^(.*)~(\d)$")
 _PHRASE_TOK = re.compile(r"^\"([^\"]*)\"(?:~(\d+))?$")
 
 
-def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
+def parse_query(
+    q: str, analyze=simple_tokenize_py, unordered_slop: bool = False
+) -> ParsedQuery:
     """simple_query_string subset: whitespace = AND, ``|`` = OR,
     ``-x`` = NOT, ``"a b"`` = phrase, ``"a b"~N`` = sloppy phrase (NEAR),
     ``t*`` = prefix, ``t~N`` = fuzzy (the reference enables
-    OR|NOT|PREFIX|PHRASE|NEAR|FUZZY|…, ElasticsearchQueryTest.java:53)."""
+    OR|NOT|PREFIX|PHRASE|NEAR|FUZZY|…, ElasticsearchQueryTest.java:53).
+
+    ``unordered_slop=True`` opts into Lucene-style out-of-order NEAR:
+    ``"a b"~2`` also matches ``b a``.  A sloppy phrase then matches iff
+    some choice of per-term occurrence positions has adjusted-position
+    span ``max(pᵢ−i) − min(pᵢ−i) ≤ slop`` — identical to the default
+    ordered total-extra-gap cost whenever the chosen occurrences are in
+    phrase order (the span telescopes into the gap sum), and charging a
+    reversal of adjacent terms 2 slop exactly as Lucene's
+    SloppyPhraseScorer does.  The default (ordered-only) remains the
+    engine's documented deviation, mirrored by all oracles; phrases
+    with REPEATED terms reject the flag (Lucene's repeats handling is
+    heuristic — see COVERAGE.md "Deliberate deviations")."""
     pq = ParsedQuery()
     pending_or = False
     for m in _QTOKEN.finditer(q):
@@ -146,7 +164,14 @@ def parse_query(q: str, analyze=simple_tokenize_py) -> ParsedQuery:
         pm = _PHRASE_TOK.match(tok)
         if pm:
             terms = tuple(analyze(pm.group(1)))
-            clause = Clause("phrase", terms, negated, slop=int(pm.group(2) or 0))
+            slop = int(pm.group(2) or 0)
+            in_order = not (unordered_slop and slop > 0)
+            if not in_order and len(set(terms)) < len(terms):
+                raise ValueError(
+                    "unordered slop does not support phrases with repeated "
+                    f"terms: {terms}"
+                )
+            clause = Clause("phrase", terms, negated, slop=slop, in_order=in_order)
         elif tok.endswith("*"):
             stem = analyze(tok[:-1])
             clause = Clause("prefix", tuple(stem[-1:]), negated)
@@ -272,21 +297,86 @@ def _sloppy_match_np(pos_lists: list[np.ndarray], slop: int) -> bool:
     return prev.size > 0
 
 
+def _adjust_pos(offset: int):
+    """Single-arg lambda factory: position → adjusted position
+    ``p + offset``.  (Same arity pitfall as :func:`_window_covered` — a
+    ``lambda x, i=i`` default-arg closure would bind as transform's
+    two-arg (element, index) form and silently use the array index.)"""
+
+    def shift(x):
+        return x + F.lit(int(offset))
+
+    return shift
+
+
+def _window_covered(qcols, slop: int):
+    """Single-arg lambda factory for the unordered-slop window test:
+    given a window floor ``w``, True iff every term's adjusted-position
+    array has an element in ``[w, w + slop]``.  (A factory rather than
+    an inline default-arg lambda: PySpark reads lambda ARITY to decide
+    the higher-order function's argument count, so ``lambda x, w=w``
+    would bind as a two-arg lambda.)"""
+
+    def covered(w):
+        def in_window(x):
+            return (x >= w) & (x <= w + F.lit(int(slop)))
+
+        out = None
+        for qc in qcols:
+            c = F.exists(qc, in_window)
+            out = c if out is None else (out & c)
+        return out
+
+    return covered
+
+
 def phrase_match_df(
-    postings: DataFrame, terms: tuple[str, ...], slop: int = 0
+    postings: DataFrame, terms: tuple[str, ...], slop: int = 0,
+    in_order: bool = True,
 ) -> DataFrame:
     """→ doc_ids where ``terms`` occur at consecutive positions
     (``slop = 0``) or within an order-preserving window of total extra
-    gap ≤ ``slop`` (``"a b"~N`` NEAR semantics).
+    gap ≤ ``slop`` (``"a b"~N`` NEAR semantics).  ``in_order=False``
+    (only meaningful with ``slop > 0``): Lucene-style out-of-order NEAR
+    — match iff some per-term occurrence choice has adjusted-position
+    span ≤ slop (see :func:`parse_query`).
 
     Iterative position joins, entirely JVM-side: ``slop = 0`` carries
     the set of feasible end-positions forward (array_intersect);
-    ``slop > 0`` carries the :func:`_sloppy_step` DP states.  One
-    equi-join on doc_id per phrase term either way.  Requires postings
+    ordered ``slop > 0`` carries the :func:`_sloppy_step` DP states;
+    unordered carries one adjusted-position array per term and decides
+    with a single nested higher-order sliding-window expression.  One
+    equi-join on doc_id per phrase term every way.  Requires postings
     built ``with_positions``.
     """
     assert terms, "empty phrase"
     pos_col = _pos_decode_udf(F.col("pos_blob"), F.col("tf"))
+    if slop > 0 and not in_order:
+        if len(set(terms)) < len(terms):
+            raise ValueError(
+                f"unordered slop does not support repeated phrase terms: {terms}"
+            )
+        k = len(terms)
+        # adjusted positions qᵢ = p − i (+k so they stay non-negative)
+        cur = postings.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.transform(pos_col, _adjust_pos(k)).alias("q0")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = postings.filter(F.col("term") == t).select(
+                "doc_id",
+                F.transform(pos_col, _adjust_pos(k - i)).alias(f"q{i}"),
+            )
+            cur = cur.join(nxt, "doc_id")
+        qcols = [F.col(f"q{i}") for i in range(k)]
+        # the optimal window starts at some chosen q, so trying every
+        # occurrence of every term as the window floor w is exhaustive
+        allq = F.flatten(F.array(*qcols))
+
+        return (
+            cur.filter(F.exists(allq, _window_covered(qcols, slop)))
+            .select("doc_id")
+            .distinct()
+        )
     if slop > 0:
         cur = (
             postings.filter(F.col("term") == terms[0])
@@ -337,7 +427,9 @@ def _clause_docs_df(
     if clause.kind == "term":
         return p.filter(F.col("term") == clause.terms[0]).select("doc_id").distinct()
     if clause.kind == "phrase":
-        return phrase_match_df(p, clause.terms, slop=clause.slop)
+        return phrase_match_df(
+            p, clause.terms, slop=clause.slop, in_order=clause.in_order
+        )
     if clause.kind in ("prefix", "fuzzy"):
         if expanded is None:
             expanded = (
@@ -675,13 +767,19 @@ def _wand_topk(plists: dict, idfs: dict, dl: np.ndarray, base: int, avgdl: float
 
 
 def _phrase_docs_shard(
-    plists: dict, terms: tuple[str, ...], base: int, slop: int = 0
+    plists: dict, terms: tuple[str, ...], base: int, slop: int = 0,
+    in_order: bool = True,
 ) -> np.ndarray:
     """Positional phrase intersection inside one shard → matching doc_ids
-    (``slop > 0`` → ordered NEAR via :func:`_sloppy_match_np`).
+    (``slop > 0`` → NEAR via :func:`_phrase_docs_vec`; ``in_order=False``
+    → Lucene-style out-of-order window).
 
     Positions are decoded lazily from the phrase terms' blobs only for
     docs surviving the doc-level intersection."""
+    if slop > 0 and not in_order and len(set(terms)) < len(terms):
+        raise ValueError(
+            f"unordered slop does not support repeated phrase terms: {terms}"
+        )
     if any(t not in plists for t in terms):
         return np.zeros(0, dtype=np.int64)
     cand = plists[terms[0]]["docs"]
@@ -705,11 +803,12 @@ def _phrase_docs_shard(
         j = np.searchsorted(pl["docs"], cand)
         plist = pos_by_term[t]
         per_term.append([np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()])
-    return _phrase_docs_vec(cand, per_term, slop)
+    return _phrase_docs_vec(cand, per_term, slop, in_order=in_order)
 
 
 def _phrase_docs_vec(
-    cand: np.ndarray, per_term: list[list[np.ndarray]], slop: int
+    cand: np.ndarray, per_term: list[list[np.ndarray]], slop: int,
+    in_order: bool = True,
 ) -> np.ndarray:
     """Vectorized phrase matching over candidate docs — shared by the
     shard scorer and the fielded serving tier.
@@ -726,9 +825,42 @@ def _phrase_docs_vec(
     doc·BIG + pos keys for all docs together.  Cross-doc transitions are
     rejected automatically (a predecessor from an earlier doc leaves
     x − v' ≥ BIG ≫ slop, and a same-doc predecessor's v dominates the
-    prefix max), so this is exactly the per-doc DP."""
+    prefix max), so this is exactly the per-doc DP.
+
+    Unordered (``in_order=False``, slop > 0): one sorted composite-key
+    array doc·BIG + (p − i + k) per term; every occurrence is tried as
+    the window floor w, and term i is covered iff its smallest key ≥ w
+    is ≤ w + slop (one searchsorted per term over all floors at once —
+    no per-doc loop, cross-doc windows impossible since BIG ≫ slop)."""
     BIG = np.int64(1) << 33  # positions are int32-bounded
     cand64 = cand.astype(np.int64)
+
+    if slop > 0 and not in_order:
+        k = np.int64(len(per_term))
+
+        def keys_unordered(i: int) -> np.ndarray:
+            per_doc = per_term[i]
+            reps = np.fromiter(
+                (p.size for p in per_doc), dtype=np.int64, count=len(per_doc)
+            )
+            docs_rep = np.repeat(cand64, reps)
+            pos_cat = (
+                np.concatenate(per_doc).astype(np.int64)
+                if per_doc
+                else np.zeros(0, dtype=np.int64)
+            )
+            return docs_rep * BIG + (pos_cat - np.int64(i) + k)
+
+        term_keys = [keys_unordered(i) for i in range(len(per_term))]
+        floors = np.sort(np.concatenate(term_keys))
+        covered = np.ones(floors.size, dtype=bool)
+        for tk in term_keys:
+            idx = np.searchsorted(tk, floors, side="left")
+            ok = idx < tk.size
+            cov = np.zeros(floors.size, dtype=bool)
+            cov[ok] = tk[idx[ok]] <= floors[ok] + slop
+            covered &= cov
+        return np.unique(floors[covered] // BIG)
 
     def keys_for(i: int, align: bool) -> np.ndarray:
         per_doc = per_term[i]
@@ -778,7 +910,9 @@ def _clause_docs_shard(plists: dict, clause: Clause, expansions: dict, base: int
         t = clause.terms[0]
         return plists[t]["docs"] if t in plists else np.zeros(0, dtype=np.int64)
     if clause.kind == "phrase":
-        return _phrase_docs_shard(plists, clause.terms, base, slop=clause.slop)
+        return _phrase_docs_shard(
+            plists, clause.terms, base, slop=clause.slop, in_order=clause.in_order
+        )
     # prefix/fuzzy: pre-expanded driver-side
     sets = [plists[t]["docs"] for t in expansions.get(_clause_key(clause), []) if t in plists]
     if not sets:

@@ -230,13 +230,16 @@ class LocalSearcher:
     # -- search ---------------------------------------------------------------
 
     def search(
-        self, query: str | ParsedQuery, k: int = 10, operator: str | None = None
+        self, query: str | ParsedQuery, k: int = 10, operator: str | None = None,
+        unordered_slop: bool = False,
     ) -> list[tuple[int, float]]:
         """``operator=None`` derives semantics from the parsed query
         (whitespace = AND, ``|`` = OR — same derivation as
         ``bm25_topk_sharded``, so all paths agree on defaults); string
         queries analyze with the index analyzer's query twin (stemmed /
-        stop indexes keep matching through the serving tier)."""
+        stop indexes keep matching through the serving tier).
+        ``unordered_slop`` opts string-query NEAR clauses into
+        Lucene-style out-of-order matching (:func:`query.parse_query`)."""
         from .query import _clause_docs_shard, _clause_key, _is_flat
 
         if isinstance(query, ParsedQuery):
@@ -253,7 +256,9 @@ class LocalSearcher:
                 "simple_stop": stop_query_tokenize_py,
             }
             pq = parse_query(
-                query, analyze=twins.get(self.analyzer, simple_tokenize_py)
+                query,
+                analyze=twins.get(self.analyzer, simple_tokenize_py),
+                unordered_slop=unordered_slop,
             )
         k = min(k, MAX_HITS)
         expansions: dict[tuple, list[str]] = {}

@@ -122,6 +122,22 @@ class OracleIndex:
                 out.add(d)
         return out
 
+    def unordered_sloppy_phrase_docs(self, terms: list[str], slop: int) -> set[int]:
+        """Lucene-style out-of-order NEAR: some per-term occurrence choice
+        has adjusted-position span ``max(pᵢ−i) − min(pᵢ−i) ≤ slop`` —
+        exhaustive product over occurrence combinations, deliberately
+        independent of the engine's window sweep."""
+        import itertools
+
+        assert len(set(terms)) == len(terms), "repeats undefined for unordered slop"
+        out = set()
+        cands = set.intersection(*(self.docs_with(t) for t in terms)) if terms else set()
+        for d in cands:
+            adj = [[p - i for p in self.pos[t][d]] for i, t in enumerate(terms)]
+            if any(max(c) - min(c) <= slop for c in itertools.product(*adj)):
+                out.add(d)
+        return out
+
     def topk(self, terms: list[str], k: int, operator: str = "and",
              candidates: set[int] | None = None) -> list[tuple[int, float]]:
         terms = sorted(set(terms))

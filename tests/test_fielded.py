@@ -520,6 +520,65 @@ def test_fielded_phrase_slop_three_tiers(spark):
             assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q
 
 
+def test_fielded_unordered_slop_four_tiers(spark, tmp_path):
+    """Flag-gated out-of-order NEAR on the fielded surface: DF tier,
+    Spark sharded tier, in-memory serving, and the Spark-free snapshot
+    replica all agree (docs AND scores) with the unordered window
+    semantics; COPY_GAP still blocks cross-source windows; the default
+    stays ordered-only."""
+    from limetrans_spark.plans import lifecycle as lc
+
+    df = spark.createDataFrame(
+        [
+            (0, "hash join strategies", "x"),
+            (1, "hash fast join", "y"),      # ordered gap 1
+            (2, "hash one two join", "z"),   # ordered gap 2
+            (3, "join before hash", "w"),    # reversal, span 3
+            (4, "join hash", "v"),           # reversal, span 2
+        ],
+        "doc_id long, title string, kw string",
+    )
+    fields = {"title": "title", "kw": "kw"}
+    copy_to = {"title": ["all"], "kw": ["all"]}
+    fidx = FL.build_fielded_index(df, fields=fields, copy_to=copy_to)
+    sidx = FL.build_fielded_sharded(df, fields=fields, copy_to=copy_to, shard_size=3)
+    srv = FL.LocalFieldedSearcher.from_index(fidx)
+    root = str(tmp_path / "uoroot")
+    lc.save_fielded(sidx, root, "f", "g1")
+    repl = FL.LocalFieldedSharded.from_snapshot(root)
+
+    want = {
+        'title:"hash join"~1': {0, 1},
+        'title:"hash join"~2': {0, 1, 2, 4},
+        'title:"hash join"~3': {0, 1, 2, 3, 4},
+        '"hash join"~2': {0, 1, 2, 4},   # default (copy_to) field
+        '"join x"~5': set(),             # COPY_GAP blocks, ordered or not
+    }
+    for q, exp in want.items():
+        pq = FL.parse_fielded_query(q, "all", fidx.analyzers, unordered_slop=True)
+        a = [(r["doc_id"], r["score"]) for r in FL.bm25_topk_fielded(fidx, pq, k=10).collect()]
+        b = srv.search(q, k=10, unordered_slop=True)
+        c = [
+            (r["doc_id"], r["score"])
+            for r in FL.bm25_topk_fielded_sharded(sidx, pq, k=10).collect()
+        ]
+        d = repl.search(q, k=10, unordered_slop=True)
+        assert {x for x, _ in a} == exp, q
+        assert [x for x, _ in a] == [x for x, _ in b] == [x for x, _ in c] == [x for x, _ in d], q
+        for (_, sa), (_, sb), (_, sc), (_, sd) in zip(a, b, c, d):
+            assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9 and abs(sa - sd) < 1e-9, q
+    # default remains the documented ordered-only deviation
+    ordered = {
+        r["doc_id"]
+        for r in FL.bm25_topk_fielded(fidx, 'title:"hash join"~9', k=10).collect()
+    }
+    assert ordered == {0, 1, 2}
+    # repeated terms reject the flag on the fielded parser too
+    with pytest.raises(ValueError, match="repeated"):
+        FL.parse_fielded_query('title:"hash join hash"~2', "all", fidx.analyzers,
+                               unordered_slop=True)
+
+
 def test_local_fielded_sharded_from_snapshot(spark, tmp_path):
     """Spark-free fielded replica: save_fielded → LocalFieldedSharded
     .from_snapshot (pure pyarrow) answers rank-identically to the

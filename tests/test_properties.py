@@ -131,6 +131,30 @@ def test_sloppy_match_dp_equals_bruteforce(pos_lists, slop):
     assert _sloppy_match_np(pos_lists, slop) == want
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(pos_list, min_size=2, max_size=4),
+    st.integers(min_value=1, max_value=6),
+)
+def test_unordered_slop_vec_equals_bruteforce(pos_lists, slop):
+    """The unordered-NEAR window sweep in ``_phrase_docs_vec`` ≡ exhaustive
+    product over occurrence choices (adjusted-position span ≤ slop), and
+    every ordered match is also an unordered match (the ordered gap sum
+    telescopes into the span)."""
+    import itertools
+
+    from limetrans_spark.operators.query import _phrase_docs_vec, _sloppy_match_np
+
+    cand = np.array([7], dtype=np.int64)
+    per_term = [[pl] for pl in pos_lists]
+    adj = [[int(p) - i for p in pl.tolist()] for i, pl in enumerate(pos_lists)]
+    want = any(max(c) - min(c) <= slop for c in itertools.product(*adj))
+    got = _phrase_docs_vec(cand, per_term, slop, in_order=False).size > 0
+    assert got == want
+    if _sloppy_match_np(pos_lists, slop):
+        assert got  # ordered ⊆ unordered at equal slop
+
+
 # --- nested path ops invariants (round 4) -----------------------------------
 
 _key = st.sampled_from(["a", "b", "c", "d"])

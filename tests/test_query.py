@@ -288,6 +288,82 @@ def test_phrase_slop_monotone_and_zero_equals_exact(index, oracle):
     assert got == want
 
 
+def test_unordered_slop_vector_pair(spark):
+    """The flag-gated Lucene out-of-order NEAR vs the default ordered
+    NEAR, proven as a vector PAIR on the same corpus: ``"a b"~2``
+    matches the reversal ``b a`` only with ``unordered_slop=True``
+    (adjusted-position span ≤ slop — a reversal of adjacent terms costs
+    2 slop, exactly Lucene's SloppyPhraseScorer charge), identically on
+    the DF, sharded, and serving tiers."""
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.operators.serve import LocalSearcher
+
+    docs = [
+        "b a zz",        # 0: reversal, span 2
+        "a x b zz",      # 1: ordered gap 1
+        "a b zz",        # 2: adjacent
+        "b x x a zz",    # 3: reversal, span 4
+        "a zz",          # 4: missing b
+        "c b zz a",      # 5: b@1 a@3 → span 3
+    ]
+    corpus = spark.createDataFrame(
+        [(i, "r", "p", "c", "txt", t) for i, t in enumerate(docs)],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_index(corpus, shard_size=3)
+    searcher = LocalSearcher.from_index(idx)
+    # (query, ordered docs, unordered docs) — a strict-difference pair per slop
+    cases = [
+        ('"a b"~1', {1, 2}, {1, 2}),
+        ('"a b"~2', {1, 2}, {0, 1, 2}),
+        ('"a b"~3', {1, 2}, {0, 1, 2, 5}),
+        ('"a b"~4', {1, 2}, {0, 1, 2, 3, 5}),
+        ('"b a"~2', {0, 3, 5}, {0, 2, 3, 5}),
+    ]
+    for qs, want_ord, want_uno in cases:
+        for unordered, want in ((False, want_ord), (True, want_uno)):
+            pq = Q.parse_query(qs, unordered_slop=unordered)
+            got_df = {r["doc_id"] for r in Q.matching_docs_df(idx, pq).collect()}
+            got_sh = {r["doc_id"] for r in Q.bm25_topk_sharded(idx, pq, k=100).collect()}
+            got_sv = {d for d, _ in searcher.search(pq, k=100)}
+            assert got_df == got_sh == got_sv == want, (qs, unordered)
+    # the serving tier's own parse path honors the flag on string queries
+    assert {d for d, _ in searcher.search('"a b"~2', k=100, unordered_slop=True)} == {0, 1, 2}
+    # repeated phrase terms reject the flag (Lucene's repeats handling is
+    # heuristic — out of scope, and silently-wrong answers are worse)
+    with pytest.raises(ValueError, match="repeated"):
+        Q.parse_query('"a b a"~2', unordered_slop=True)
+    with pytest.raises(ValueError, match="repeated"):
+        Q.phrase_match_df(idx.postings, ("a", "b", "a"), slop=2, in_order=False)
+
+
+def test_unordered_slop_corpus_matches_bruteforce_oracle(index, oracle):
+    """Unordered NEAR on the realistic synth corpus vs the oracle's
+    independent occurrence-product brute force, all three tiers; the
+    ordered result is always a subset at equal slop."""
+    from limetrans_spark.operators.serve import LocalSearcher
+
+    searcher = LocalSearcher.from_index(index)
+    cases = [
+        (("applicable", "law"), 2),
+        (("parse", "json"), 1),
+        (("parse", "json"), 3),
+        (("tokenize", "score"), 2),
+        (("parse", "json", "fast"), 2),
+    ]
+    for terms, slop in cases:
+        qs = '"' + " ".join(terms) + f'"~{slop}'
+        want = oracle.unordered_sloppy_phrase_docs(list(terms), slop)
+        pq = Q.parse_query(qs, unordered_slop=True)
+        got_df = {r["doc_id"] for r in Q.matching_docs_df(index, pq).collect()}
+        assert got_df == want, (qs, "df")
+        got_sh = {r["doc_id"] for r in Q.bm25_topk_sharded(index, pq, k=1000).collect()}
+        assert got_sh == want, (qs, "sharded")
+        got_sv = {d for d, _ in searcher.search(pq, k=1000)}
+        assert got_sv == want, (qs, "serving")
+        assert oracle.sloppy_phrase_docs(list(terms), slop) <= want, (qs, "subset")
+
+
 def test_prefix_fuzzy_expansion_cap_binds(spark):
     """The 128-term expansion cap (MAX_PREFIX_EXPANSIONS) actually
     exercised: 300 terms share the prefix; the engine must score/match
