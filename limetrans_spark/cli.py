@@ -103,6 +103,11 @@ def _add_serve(sub):
         "--shards", default=None,
         help="comma-separated shard ids: load only this replica's slice",
     )
+    p.add_argument(
+        "--unordered-slop", action="store_true",
+        help='Lucene-style out-of-order NEAR: "a b"~2 also matches b a '
+        "(default: order-preserving slop)",
+    )
 
 
 def _add_filter(sub):
@@ -152,7 +157,10 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.fielded import LocalFieldedSharded
 
             repl = LocalFieldedSharded.from_snapshot(args.root)
-            hits = repl.search(args.query, k=args.k, default_field=args.default_field)
+            hits = repl.search(
+                args.query, k=args.k, default_field=args.default_field,
+                unordered_slop=args.unordered_slop,
+            )
         else:
             snap_name = args.snapshot or lc.current_snapshot(args.root)
             if snap_name is None:
@@ -163,7 +171,9 @@ def main(argv: list[str] | None = None) -> int:
             searcher = LocalSearcher.from_snapshot(
                 os.path.join(args.root, "snapshots", snap_name), shard_subset=subset
             )
-            hits = searcher.search(args.query, k=args.k)
+            hits = searcher.search(
+                args.query, k=args.k, unordered_slop=args.unordered_slop
+            )
         for d, s in hits:
             print(json.dumps({"doc_id": d, "score": round(s, 6)}))
         return 0

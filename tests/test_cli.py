@@ -191,3 +191,16 @@ def test_cli_serve_sparkless(corpus_path, tmp_path_factory):
     for r in rows:
         if r["doc_id"] in full:
             assert abs(r["score"] - full[r["doc_id"]]) < 1e-9
+
+    # --unordered-slop reaches the serving scorer: out-of-order NEAR
+    # matches at least the ordered doc set (strict superset on corpora
+    # with reversals; subset relation is the universal invariant)
+    uq = '"parse json"~3'
+    ordered = run_cli("serve", "--root", root, "--query", uq, "-k", "1000")
+    unordered = run_cli(
+        "serve", "--root", root, "--query", uq, "-k", "1000", "--unordered-slop"
+    )
+    assert ordered.returncode == 0 and unordered.returncode == 0
+    dord = {json.loads(l)["doc_id"] for l in ordered.stdout.strip().splitlines() if l.startswith("{")}
+    duno = {json.loads(l)["doc_id"] for l in unordered.stdout.strip().splitlines() if l.startswith("{")}
+    assert dord <= duno and dord
