@@ -38,7 +38,18 @@ def _add_build(sub):
     p.add_argument("--name", default="code")
     p.add_argument("--generation", required=True, help="snapshot generation id (e.g. 20260816)")
     p.add_argument("--text-col", default="content")
-    p.add_argument("--analyzer", default="code", choices=["code", "simple", "simple_stem", "simple_stop"])
+    p.add_argument(
+        "--analyzer",
+        default="code",
+        choices=[
+            "code",
+            "simple",
+            "simple_stem",
+            "simple_stem_de",
+            "simple_stop",
+            "simple_stop_stem_de",
+        ],
+    )
     p.add_argument("--shard-size", type=int, default=1 << 17)
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--wave-size", type=int, default=4)

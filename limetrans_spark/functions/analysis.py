@@ -209,6 +209,35 @@ def invert_py(text: str, analyzer: str = "code") -> tuple[int, list[tuple[str, i
             if st != t:
                 toks.append((st, i))
         dl = len(terms)
+    elif analyzer == "simple_stem_de":
+        # keyword_repeat → snowball German2 → unique: the reference's
+        # actual stemming filter (hbztitle-settings-v8.json:42-45
+        # "snowball_german_umlaut"); same index shape as simple_stem
+        from .stem_de import german2_stem
+
+        terms = simple_tokenize_py(text)
+        toks = []
+        for i, t in enumerate(terms):
+            toks.append((t, i))
+            st = german2_stem(t)
+            if st != t:
+                toks.append((st, i))
+        dl = len(terms)
+    elif analyzer == "simple_stop_stem_de":
+        # the reference's full `default` chain shape
+        # (hbztitle-settings-v8.json:126-144): stop → keyword_repeat →
+        # snowball German2 → unique.  Stopwords removed with positions
+        # preserved, each survivor indexed as surface + stem at its
+        # original position, dl = survivor count.
+        from .stem_de import german2_stem
+
+        toks = []
+        for t, i in stop_tokenize_with_pos_py(text):
+            toks.append((t, i))
+            st = german2_stem(t)
+            if st != t:
+                toks.append((st, i))
+        dl = len({i for _, i in toks})
     elif analyzer == "simple_stop":
         # stop filter: stopwords removed, survivors keep their original
         # positions (Lucene enablePositionIncrements), dl = survivor count
@@ -265,3 +294,24 @@ def stemmed_query_tokenize_py(text: str) -> list[str]:
     from .stem import porter_stem
 
     return [porter_stem(t) for t in simple_tokenize_py(text)]
+
+
+def german_query_tokenize_py(text: str) -> list[str]:
+    """Query-side twin for a ``simple_stem_de`` index (snowball
+    German2; the index holds stem + surface at one position)."""
+    from .stem_de import german2_stem
+
+    return [german2_stem(t) for t in simple_tokenize_py(text)]
+
+
+def stop_german_query_tokenize_py(text: str) -> list[str]:
+    """Query-side twin for a ``simple_stop_stem_de`` index — the
+    reference's ``default``/``search`` chain: drop stopwords, stem the
+    survivors with German2."""
+    from .stem_de import german2_stem
+
+    return [
+        german2_stem(t)
+        for t in simple_tokenize_py(text)
+        if t not in STOPWORDS
+    ]

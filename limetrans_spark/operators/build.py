@@ -152,19 +152,32 @@ def tokenize(docs: DataFrame, text_col: str = "content", analyzer: str = "code")
         return toks.select(
             "doc_id", F.col("tok.term").alias("term"), F.col("tok.pos").alias("pos")
         )
-    if analyzer == "simple_stem":
-        # surface token + (if different) its Porter stem at one position
-        from ..functions.stem import porter_stem
-
+    if analyzer in ("simple_stem", "simple_stem_de", "simple_stop_stem_de"):
+        # keyword_repeat shape: surface token + (if different) its stem
+        # at one position; the *_de variants stem with snowball German2
+        # and simple_stop_stem_de drops stopwords first (positions kept)
         @F.pandas_udf("array<struct<term:string,pos:int>>")
         def stem_toks(texts: pd.Series) -> pd.Series:
-            from ..functions.analysis import simple_tokenize_py
+            from ..functions.analysis import (
+                simple_tokenize_py,
+                stop_tokenize_with_pos_py,
+            )
+
+            if analyzer == "simple_stem":
+                from ..functions.stem import porter_stem as stem_fn
+            else:
+                from ..functions.stem_de import german2_stem as stem_fn
 
             def one(t):
+                if analyzer == "simple_stop_stem_de":
+                    pairs = stop_tokenize_with_pos_py(t or "")
+                else:
+                    pairs = list(enumerate(simple_tokenize_py(t or "")))
+                    pairs = [(tok, i) for i, tok in pairs]
                 out = []
-                for i, tok in enumerate(simple_tokenize_py(t or "")):
+                for tok, i in pairs:
                     out.append((tok, i))
-                    st = porter_stem(tok)
+                    st = stem_fn(tok)
                     if st != tok:
                         out.append((st, i))
                 return out

@@ -53,8 +53,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import (
+    german_query_tokenize_py,
     simple_tokenize_py,
     stemmed_query_tokenize_py,
+    stop_german_query_tokenize_py,
     stop_query_tokenize_py,
 )
 from .build import BM25_B, BM25_K1, tokenize
@@ -75,7 +77,9 @@ COPY_GAP = 1_000_000  # position gap between copy_to sources
 _QUERY_ANALYZERS = {
     "simple": simple_tokenize_py,
     "simple_stem": stemmed_query_tokenize_py,
+    "simple_stem_de": german_query_tokenize_py,
     "simple_stop": stop_query_tokenize_py,
+    "simple_stop_stem_de": stop_german_query_tokenize_py,
 }
 
 

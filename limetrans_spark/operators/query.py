@@ -75,12 +75,16 @@ def query_analyzer_for(index) -> "callable":
     analyzer's catenate/part variants are index-side overlap tokens the
     simple split already matches ('parse-json' → [parse, json])."""
     from ..functions.analysis import (
+        german_query_tokenize_py,
         stemmed_query_tokenize_py,
+        stop_german_query_tokenize_py,
         stop_query_tokenize_py,
     )
 
     twins = {
         "simple_stem": stemmed_query_tokenize_py,
+        "simple_stem_de": german_query_tokenize_py,
+        "simple_stop_stem_de": stop_german_query_tokenize_py,
         "simple_stop": stop_query_tokenize_py,
     }
     label = index.metrics.get("analyzer") if getattr(index, "metrics", None) else None

@@ -246,13 +246,17 @@ class LocalSearcher:
             pq = query
         else:
             from ..functions.analysis import (
+                german_query_tokenize_py,
                 simple_tokenize_py,
                 stemmed_query_tokenize_py,
+                stop_german_query_tokenize_py,
                 stop_query_tokenize_py,
             )
 
             twins = {
                 "simple_stem": stemmed_query_tokenize_py,
+                "simple_stem_de": german_query_tokenize_py,
+                "simple_stop_stem_de": stop_german_query_tokenize_py,
                 "simple_stop": stop_query_tokenize_py,
             }
             pq = parse_query(
