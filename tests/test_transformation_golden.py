@@ -80,3 +80,26 @@ def test_corpus_is_nontrivial():
     cases = _cases()
     assert len({i for i, _ in cases}) >= 5
     assert len(cases) >= 48
+
+
+def test_every_production_ruleset_parses():
+    """Vocabulary-coverage pin: EVERY production entry rule set in the
+    reference — including the ones without golden fixtures
+    (DE-107-ebooks, DE-69, DE-380, DE-709, DE-2524, alma.xml with its
+    556 data rules / 150 flush listeners riding macros.xml +
+    xi:includes) — must compile without hitting the parse-time
+    unsupported-vocabulary guard.  A real reference user's rule file
+    loads, or we find out here, not in production."""
+    import glob
+
+    files = sorted(glob.glob(str(RULES_ROOT / "*.xml")))
+    assert len(files) >= 10
+    sizes = {}
+    for f in files:
+        m = Morph.from_file(f)
+        sizes[Path(f).stem] = len(m.registry)
+    # the non-empty entry files all carry hundreds of data rules
+    assert sizes["alma"] >= 500
+    assert sizes["DE-836"] >= 400
+    # DE-708-deposit is genuinely an empty ruleset in the reference
+    assert sizes["DE-708-deposit"] == 0
