@@ -187,3 +187,34 @@ def test_path_set_then_get_roundtrip(rec, segs, value):
     path_remove(rec, path)
     assert path_get(rec, path) == []
     path_remove(rec, path)  # idempotent on missing paths
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß", min_size=0, max_size=24))
+def test_german2_stem_invariants(word):
+    """German2 over its full input alphabet: output is plain ascii
+    lowercase (the postlude strips every umlaut the prelude introduces
+    and unmarks U/Y), never longer than the ß-expanded input, and the
+    stem of a stem never crashes.  The fold property: appending 'e'
+    after a consonant-preceded 'u' must stem like the umlaut form."""
+    from limetrans_spark.functions.stem_de import german2_stem
+
+    out = german2_stem(word)
+    assert all("a" <= c <= "z" for c in out), (word, out)
+    assert len(out) <= len(word) + word.count("ß")
+    german2_stem(out)  # total on its own output
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="bcdfghjklmnprstvwxz", min_size=1, max_size=10))
+def test_german2_ue_spelling_converges_with_umlaut(stem_part):
+    """For any vowel-free consonant cluster C (no q, no u/y — a vowel
+    before the u would correctly trigger the marking protection
+    instead), the words C+'uen' and C+'ün' see the identical
+    post-prelude form — the German2 convergence property at the unit
+    level."""
+    from limetrans_spark.functions.stem_de import _prelude
+
+    spelled = _prelude(stem_part + "uen", fold_ae_oe_ue=True)
+    umlaut = _prelude(stem_part + "ün", fold_ae_oe_ue=True)
+    assert spelled == umlaut
