@@ -47,9 +47,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main(n_docs: int = 100_000) -> int:
+def main(n_docs: int = 100_000, index_only: bool = False) -> int:
+    """``index_only=True`` runs the shuffle-bounded paths (build, rank
+    identity, prefix cap, exact dedup) and skips the MinHash/cluster
+    sections whose driver-side union-find ORACLE collects the candidate
+    pair list — ~10.9 M pairs at 100 k docs, O(n²)-ish at 1 M.  The
+    engine side of those paths is bucketed and would run; it is the
+    verification harness that cannot, so the probe says so instead of
+    pretending (use the default mode at 100 k for the full oracle)."""
     probes = [noise_probe()]
-    res: dict = {"metric": "scale-probe", "n_docs": n_docs, "vocab": 20_000}
+    res: dict = {"metric": "scale-probe", "n_docs": n_docs, "vocab": 20_000,
+                 "index_only": index_only}
     spark = get_spark(
         app_name="scale-probe",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -68,6 +76,13 @@ def main(n_docs: int = 100_000) -> int:
                             shard_size=1 << 13)
     )
     idx.postings.persist().count()
+    # warm-path policy matches bench.py: the compressed shards / term
+    # dictionary / doclen blobs are build-time artifacts (published
+    # parquet in production) — persist them so the sharded-WAND timings
+    # measure QUERY work, not a per-query re-encode of the whole index
+    idx.shards.persist().count()
+    idx.terms.persist().count()
+    idx.doclens.persist().count()
     res["build_sec"] = round(t_build, 2)
     res["build_docs_per_sec"] = round(n_docs / t_build, 1)
     log(f"build {t_build:.1f}s")
@@ -114,6 +129,18 @@ def main(n_docs: int = 100_000) -> int:
     res["exact_dups_plausible"] = bool(
         0.02 * n_docs < exact < 0.10 * n_docs
     )
+
+    if index_only:
+        probes.append(noise_probe())
+        res["noise_probe_sec"] = [round(p, 4) for p in probes]
+        res["ok"] = bool(
+            res["rank_identical"]
+            and res["prefix_cap_binds"]
+            and res["prefix_rank_identical"]
+            and res["exact_dups_plausible"]
+        )
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
 
     # --- MinHash-LSH recall on true dups + cluster resolution ------------
     # 3-gram shingles: the production near-dup feature (unigram sets on
@@ -180,4 +207,8 @@ def main(n_docs: int = 100_000) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 100_000))
+    args = [a for a in sys.argv[1:] if a != "--index-only"]
+    sys.exit(main(
+        int(args[0]) if args else 100_000,
+        index_only="--index-only" in sys.argv[1:],
+    ))
