@@ -791,22 +791,45 @@ def _phrase_docs_shard(
         cand = np.intersect1d(cand, plists[t]["docs"], assume_unique=True)
     if cand.size == 0:
         return cand
-    pos_by_term = {}
     for t in set(terms):
         pl = plists[t]
-        if "positions" in pl:  # serving tier: decode once per plist,
-            pos_by_term[t] = pl["positions"]  # reuse across queries
-            continue
+        if "pos_flat" in pl:  # CSR cache: decode once per plist,
+            continue  # reuse across queries
         if len(pl["pos_blob"]) == 0 and int(pl["tfs"].sum()) > 0:
             raise ValueError("phrase query requires an index built with_positions=True")
-        pos_by_term[t] = codec.decode_positions(pl["pos_blob"], pl["tfs"])
-        pl["positions"] = pos_by_term[t]
+        plist = pl.get("positions")
+        if plist is None:
+            plist = codec.decode_positions(pl["pos_blob"], pl["tfs"])
+        # CSR layout (flat positions + per-doc offsets): phrase key
+        # construction becomes a pure-NumPy gather with no per-doc
+        # Python loop (the list-of-arrays shape dominated warm phrase
+        # serving latency at ~3 100 tiny asarray calls per query)
+        sizes = np.fromiter(
+            (len(p) for p in plist), dtype=np.int64, count=len(plist)
+        )
+        pl["pos_starts"] = np.concatenate(
+            (np.zeros(1, dtype=np.int64), np.cumsum(sizes))
+        )
+        pl["pos_flat"] = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in plist])
+            if len(plist)
+            else np.zeros(0, dtype=np.int64)
+        )
+        pl.pop("positions", None)  # superseded by the CSR pair
+    cand64 = cand.astype(np.int64)
     per_term = []
     for t in terms:
         pl = plists[t]
         j = np.searchsorted(pl["docs"], cand)
-        plist = pos_by_term[t]
-        per_term.append([np.asarray(plist[jj], dtype=np.int64) for jj in j.tolist()])
+        starts, flat = pl["pos_starts"], pl["pos_flat"]
+        counts = starts[j + 1] - starts[j]
+        total = int(counts.sum())
+        begins = np.cumsum(counts) - counts  # exclusive prefix
+        gather = (
+            np.arange(total, dtype=np.int64)
+            + np.repeat(starts[j] - begins, counts)
+        )
+        per_term.append((np.repeat(cand64, counts), flat[gather]))
     return _phrase_docs_vec(cand, per_term, slop, in_order=in_order)
 
 
@@ -817,8 +840,11 @@ def _phrase_docs_vec(
     """Vectorized phrase matching over candidate docs — shared by the
     shard scorer and the fielded serving tier.
 
-    ``cand``: sorted candidate doc ids; ``per_term[i]``: one sorted
-    position array per candidate doc for phrase term i.
+    ``cand``: sorted candidate doc ids; ``per_term[i]``: either one
+    sorted position array per candidate doc for phrase term i (legacy
+    list shape, fielded serving tier) or an already-flat
+    ``(docs_rep, pos_cat)`` int64 pair (CSR gather in
+    :func:`_phrase_docs_shard` — no per-doc Python).
 
     Exact (``slop = 0``): term i's occurrence (doc, p) becomes key
     doc·BIG + (p − i); a phrase occurrence is a key shared by every
@@ -839,20 +865,21 @@ def _phrase_docs_vec(
     BIG = np.int64(1) << 33  # positions are int32-bounded
     cand64 = cand.astype(np.int64)
 
+    def _flat(i: int) -> tuple[np.ndarray, np.ndarray]:
+        e = per_term[i]
+        if isinstance(e, tuple):
+            return e
+        reps = np.fromiter((p.size for p in e), dtype=np.int64, count=len(e))
+        pos_cat = (
+            np.concatenate(e).astype(np.int64) if e else np.zeros(0, dtype=np.int64)
+        )
+        return np.repeat(cand64, reps), pos_cat
+
     if slop > 0 and not in_order:
         k = np.int64(len(per_term))
 
         def keys_unordered(i: int) -> np.ndarray:
-            per_doc = per_term[i]
-            reps = np.fromiter(
-                (p.size for p in per_doc), dtype=np.int64, count=len(per_doc)
-            )
-            docs_rep = np.repeat(cand64, reps)
-            pos_cat = (
-                np.concatenate(per_doc).astype(np.int64)
-                if per_doc
-                else np.zeros(0, dtype=np.int64)
-            )
+            docs_rep, pos_cat = _flat(i)
             return docs_rep * BIG + (pos_cat - np.int64(i) + k)
 
         term_keys = [keys_unordered(i) for i in range(len(per_term))]
@@ -867,12 +894,7 @@ def _phrase_docs_vec(
         return np.unique(floors[covered] // BIG)
 
     def keys_for(i: int, align: bool) -> np.ndarray:
-        per_doc = per_term[i]
-        reps = np.fromiter(
-            (p.size for p in per_doc), dtype=np.int64, count=len(per_doc)
-        )
-        docs_rep = np.repeat(cand64, reps)
-        pos_cat = np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.int64)
+        docs_rep, pos_cat = _flat(i)
         if align:
             pos_cat = pos_cat - i
             mask = pos_cat >= 0
