@@ -49,6 +49,8 @@ import itertools
 import re
 from dataclasses import dataclass, field as dc_field
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -704,30 +706,61 @@ class LocalFieldedSearcher:
 
     # -- matching -----------------------------------------------------------
 
+    def _pos_csr(self, fname: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(flat positions, per-doc offsets) for one field-term plist —
+        built once, cached; phrase key construction is then a pure-NumPy
+        gather (same CSR shape as the flat shard scorer's)."""
+        cache = getattr(self, "_pos_csr_cache", None)
+        if cache is None:
+            cache = self._pos_csr_cache = {}
+        key = (fname, term)
+        csr = cache.get(key)
+        if csr is None:
+            plist = self._plists[key][2]
+            if any(p is None for p in plist):
+                raise ValueError(
+                    "fielded phrase queries require an index built "
+                    "with_positions=True"
+                )
+            sizes = np.fromiter(
+                (p.size for p in plist), dtype=np.int64, count=len(plist)
+            )
+            starts = np.concatenate(
+                (np.zeros(1, dtype=np.int64), np.cumsum(sizes))
+            )
+            flat = (
+                np.concatenate(plist) if plist else np.zeros(0, dtype=np.int64)
+            )
+            csr = cache[key] = (flat, starts)
+        return csr
+
     def _phrase_docset(
         self, fname: str, terms: tuple[str, ...], slop: int = 0,
         in_order: bool = True,
     ) -> set[int]:
-        import numpy as np
-
         from .query import _phrase_docs_vec
 
         pls = [self._plists.get((fname, t)) for t in terms]
         if any(p is None for p in pls):
             return set()
-        if any(x is None for p in pls for x in p[2]):
-            raise ValueError(
-                "fielded phrase queries require an index built with_positions=True"
-            )
         cand = pls[0][0]
         for p in pls[1:]:
             cand = np.intersect1d(cand, p[0], assume_unique=True)
         if cand.size == 0:
             return set()
+        cand64 = cand.astype(np.int64)
         per_term = []
-        for p in pls:
+        for t, p in zip(terms, pls):
+            flat, starts = self._pos_csr(fname, t)
             j = np.searchsorted(p[0], cand)
-            per_term.append([np.asarray(p[2][jj], dtype=np.int64) for jj in j.tolist()])
+            counts = starts[j + 1] - starts[j]
+            total = int(counts.sum())
+            begins = np.cumsum(counts) - counts
+            gather = (
+                np.arange(total, dtype=np.int64)
+                + np.repeat(starts[j] - begins, counts)
+            )
+            per_term.append((np.repeat(cand64, counts), flat[gather]))
         return {
             int(d) for d in _phrase_docs_vec(cand, per_term, slop, in_order=in_order)
         }
