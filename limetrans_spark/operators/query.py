@@ -616,8 +616,15 @@ def bm25_topk_df(
 
 
 def _decode_shard_group(pdf: pd.DataFrame, shard_size: int):
-    """Decode the compressed rows of one (shard, query-terms) group."""
+    """Decode the compressed rows of one (shard, query-terms) group.
+
+    ``pos_blob`` is optional: scoring-only queries drop the column
+    before the cogroup (positions are the bulk of index bytes — tf per
+    posting vs one doc gap + one tf — so shipping them through the
+    shuffle and the Arrow boundary for non-phrase queries is the
+    dominant avoidable cost at scale)."""
     out = {}
+    has_pos = "pos_blob" in pdf.columns
     for _, row in pdf.iterrows():
         base = int(row["shard"]) * shard_size
         d, t = codec.decode_postings(
@@ -628,7 +635,7 @@ def _decode_shard_group(pdf: pd.DataFrame, shard_size: int):
             "tfs": t,
             "block_last": np.asarray(row["block_last"], dtype=np.int64),
             "block_max_tf": np.asarray(row["block_max_tf"], dtype=np.int64),
-            "pos_blob": row["pos_blob"],
+            "pos_blob": row["pos_blob"] if has_pos else b"",
         }
     return out
 
@@ -1019,6 +1026,15 @@ def bm25_topk_sharded(
     n_flat_terms = len(score_terms)
 
     rows = index.shards.filter(F.col("term").isin(qterms))
+    # scoring-only queries: prune the positions column BEFORE the
+    # cogroup — positions are the bulk of posting bytes (one varint per
+    # token vs one gap+tf per posting), and a non-phrase query never
+    # reads them, so shipping them through the shuffle and the Arrow
+    # boundary is the dominant avoidable per-query cost at scale
+    if "pos_blob" in rows.columns and not any(
+        c.kind == "phrase" for g in pq.groups for c in g
+    ):
+        rows = rows.drop("pos_blob")
     # per-shard dl blobs: ONE small row per shard joins the cogroup —
     # never a per-query shuffle of the corpus-sized doclens table
     dls = index.shard_doclens()
