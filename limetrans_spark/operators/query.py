@@ -1007,6 +1007,14 @@ def bm25_topk_sharded(
         }
     )
     if not score_terms:
+        if any(not c.negated for g in pq.groups for c in g):
+            # positive clauses exist but every one expanded to zero
+            # dictionary terms (e.g. a prefix with no vocab match):
+            # nothing can match — same empty result the DF tier returns,
+            # NOT an error (the guard below is for match_all shapes)
+            return index.postings.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
         raise ValueError("sharded path requires at least one positive clause")
     qterms = sorted(needed)
     n_docs, avgdl, shard_size = index.n_docs, index.avgdl, index.shard_size

@@ -291,6 +291,11 @@ class LocalSearcher:
             }
         )
         if not score_terms:
+            if any(not c.negated for g in pq.groups for c in g):
+                # positive clauses exist but all expanded to zero vocab
+                # terms (prefix/fuzzy miss) → empty result, matching the
+                # DF tier; the raise is only for match_all shapes
+                return []
             raise ValueError("serving path requires a positive clause")
         idfs = {t: bm25_idf(self.n_docs, self.term_df.get(t, 0)) for t in score_terms}
         derived = _is_flat(pq)

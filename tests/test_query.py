@@ -110,6 +110,19 @@ def test_prefix(index, oracle):
     assert got == want and got
 
 
+def test_prefix_no_vocab_match_empty_on_all_tiers(index):
+    # a positive clause that expands to ZERO dictionary terms must mean
+    # "matches nothing" on every tier — not an error, and not match_all
+    # (the sharded/serving guards used to raise "requires a positive
+    # clause" here, diverging from the DF tier's empty result)
+    for q in ("zzzznope*", "zzzznope* -tokenize"):
+        assert Q.bm25_topk_df(index, q, k=5).collect() == []
+        assert Q.bm25_topk_sharded(index, q, k=5).collect() == []
+    # pure-negative / empty queries keep their match_all semantics
+    with pytest.raises(ValueError, match="positive clause"):
+        Q.bm25_topk_sharded(index, "-tokenize", k=5)
+
+
 def test_match_all(index):
     got = Q.bm25_topk_df(index, "", k=1000).collect()
     assert len(got) == N_DOCS

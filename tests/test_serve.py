@@ -54,6 +54,10 @@ def test_serving_latency(searcher):
 
 def test_serving_k_cap_and_empty(searcher):
     assert searcher.search("zzznope", k=5) == []
+    # positive clause expanding to zero vocab terms → empty, not an error
+    # (match the DF tier; the raise is reserved for match_all shapes)
+    assert searcher.search("zzznope*", k=5) == []
+    assert searcher.search("zzznope* -tokenize", k=5) == []
     with pytest.raises(ValueError):
         searcher.search("-tokenize", k=5)
 
