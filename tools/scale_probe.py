@@ -91,8 +91,8 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
     q_times = {}
     for name, q in [
         ("common", "id1x1 id2x2"),
-        ("rare_or", "id19000x76 | id18500x62"),
-        ("mixed_not", "id1x1 -id17000x69"),
+        ("rare_or", "id19000x85 | id18500x70"),
+        ("mixed_not", "id1x1 -id17000x25"),
     ]:
         a, ta = timed(lambda: [
             (r.doc_id, round(r.score, 9))
@@ -103,7 +103,15 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
             for r in Q.bm25_topk_sharded(idx, q, k=20).collect()
         ])
         rank_ok = rank_ok and a == b
-        q_times[name] = {"df_sec": round(ta, 2), "wand_sec": round(tb, 2)}
+        # rank identity over an EMPTY result set is vacuous — the r5
+        # probe originally queried id19000x76/id18500x62/id17000x69,
+        # which don't exist (tokens are id{r}x{r % 97}), so assert the
+        # probe terms actually hit the corpus
+        assert len(a) > 0, f"probe query {name!r} matched nothing: {q}"
+        q_times[name] = {
+            "df_sec": round(ta, 2), "wand_sec": round(tb, 2),
+            "n_hits": len(a),
+        }
     res["rank_identical"] = rank_ok
     res["queries"] = q_times
 
