@@ -488,67 +488,168 @@ SHARD_ROW_SCHEMA = (
 )
 
 
+def _varint_buffer(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varint-encode a whole batch in ONE vectorized pass → (buffer,
+    per-value byte offsets).  Slicing the buffer at value boundaries is
+    byte-identical to per-run ``varint_encode`` (varint byte boundaries
+    align per value)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    buf = codec.varint_encode(v)
+    ofs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(codec._varint_nbytes(v), out=ofs[1:])
+    return buf, ofs
+
+
 def _spimi_writer(shard_size: int):
-    """mapInPandas fn: term-sorted (shard, term, doc_id, tf, pos_blob)
-    rows → one compressed row per (shard, term) run.  Runs may span Arrow
-    batches; carry state handles the seam.  Memory is bounded by the
-    largest single (shard, term) run, itself bounded by ``shard_size``.
-    Positions arrive pre-encoded from the inverter, so the positional
-    payload of a run is a plain byte join.
+    """mapInArrow fn: term-sorted (shard, term, doc_id, tf, pos_blob)
+    rows → one compressed row per (shard, term) run.
+
+    Arrow-native end to end: the earlier mapInPandas writers spent the
+    1M-doc build's dominant 36-39 s materializing ~48 M Python objects
+    at the UDF boundary (term strings + pos bytes on the way in, per-run
+    blob bytes + dict rows on the way out — BENCH/BASELINE.md round-5
+    build profile).  Here run boundaries come from a C++ ``not_equal``
+    over the Arrow string column, doc gaps / tfs are varint-encoded in
+    ONE vectorized pass per batch and the per-run blobs are Arrow
+    ``BinaryArray.from_buffers`` views over that single buffer (runs
+    tile the batch, so the value-offset gather IS the run layout); the
+    positional payload reuses the INPUT binary column's data buffer the
+    same way — no per-posting or per-run Python object is ever created.
+    Block metadata (skip pointers + block-max tf) falls out of two
+    ``np.*.reduceat`` calls over the contiguous block tiling.
+
+    Runs may span Arrow batches; the trailing run of each batch is
+    carried into the next, so memory stays bounded by the largest
+    single (shard, term) run, itself bounded by ``shard_size``.
+    Output rows are byte-identical to per-run ``codec.encode_postings``
+    (pinned by tests/test_build.py).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur_key: tuple[int, str] | None = None
-        docs: list[np.ndarray] = []
-        tfs: list[np.ndarray] = []
-        poss: list[list[bytes]] = []
+    BS = codec.BLOCK_SIZE
 
-        def flush() -> dict:
-            d = np.concatenate(docs)
-            t = np.concatenate(tfs)
-            base = cur_key[0] * shard_size
-            doc_blob, tf_blob, bl, bm = codec.encode_postings(d, t, base=base)
-            pos_blob = b"".join(b for batch in poss for b in batch)
-            return {
-                "shard": cur_key[0],
-                "term": cur_key[1],
-                "n": int(d.size),
-                "doc_blob": doc_blob,
-                "tf_blob": tf_blob,
-                "pos_blob": pos_blob,
-                "block_last": bl,
-                "block_max_tf": bm,
-                "sum_tf": int(t.sum()),
-            }
+    def _bin_col(data, ofs64: np.ndarray) -> "pa.BinaryArray":
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), ofs64.size - 1,
+            [None, pa.py_buffer(ofs64.astype(np.int32)), pa.py_buffer(data)],
+        )
 
-        for pdf in batches:
-            if pdf.empty:
+    def encode(tbl: "pa.Table", starts: np.ndarray, sh: np.ndarray,
+               doc: np.ndarray, tf: np.ndarray) -> "pa.RecordBatch":
+        lastn = doc.size
+        ends = np.append(starts[1:], lastn)
+        lens = ends - starts
+        nruns = starts.size
+        # doc gaps, restarting each run at delta-from-shard-base
+        gaps = doc.copy()
+        gaps[1:] -= doc[:-1]
+        gaps[starts] = doc[starts] - sh[starts] * shard_size
+        doc_buf, doc_ofs = _varint_buffer(gaps)
+        tf_buf, tf_ofs = _varint_buffer(tf)
+        run_edges = np.append(starts, lastn)
+        doc_col = _bin_col(doc_buf, doc_ofs[run_edges])
+        tf_col = _bin_col(tf_buf, tf_ofs[run_edges])
+        # block metadata: blocks tile each run contiguously, so block
+        # starts are strictly increasing across the whole batch and one
+        # reduceat per reduction covers every block of every run
+        nblocks = (lens + BS - 1) // BS
+        bcum = np.cumsum(nblocks)
+        bord = np.arange(int(bcum[-1])) - np.repeat(bcum - nblocks, nblocks)
+        run_of_block = np.repeat(np.arange(nruns), nblocks)
+        bstart = starts[run_of_block] + bord * BS
+        bend = np.minimum(bstart + BS, ends[run_of_block])
+        lofs = pa.array(np.concatenate(([0], bcum)).astype(np.int32))
+        bl_col = pa.ListArray.from_arrays(
+            lofs, pa.array(doc[bend - 1], type=pa.int64())
+        )
+        bm_col = pa.ListArray.from_arrays(
+            lofs,
+            pa.array(np.maximum.reduceat(tf, bstart).astype(np.int32)),
+        )
+        # positions: reuse the input column's data buffer — runs are
+        # contiguous row ranges, so their bytes are contiguous too and
+        # the output offsets are a pure gather of the input offsets
+        parr = tbl.column("pos_blob").chunk(0)
+        po = np.frombuffer(parr.buffers()[1], dtype=np.int32)[
+            parr.offset : parr.offset + len(parr) + 1
+        ].astype(np.int64)
+        dbuf = parr.buffers()[2]  # None when every value is b""
+        pdata = (
+            np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        base0 = int(po[0])
+        pos_col = _bin_col(
+            pdata[base0 : int(po[lastn])], po[run_edges] - base0
+        )
+        term_col = tbl.column("term").chunk(0).take(pa.array(starts))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(sh[starts].astype(np.int32)),
+                term_col,
+                pa.array(lens.astype(np.int32)),
+                doc_col,
+                tf_col,
+                pos_col,
+                bl_col,
+                bm_col,
+                pa.array(np.add.reduceat(tf, starts).astype(np.int64)),
+            ],
+            names=[
+                "shard", "term", "n", "doc_blob", "tf_blob", "pos_blob",
+                "block_last", "block_max_tf", "sum_tf",
+            ],
+        )
+
+    def write(batches):
+        carry = None  # pa.Table holding the trailing (shard, term) run
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
                 continue
-            out_rows: list[dict] = []
-            shards = pdf["shard"].to_numpy()
-            terms = pdf["term"].to_numpy()
-            doc_arr = pdf["doc_id"].to_numpy()
-            tf_arr = pdf["tf"].to_numpy()
-            pos_list = pdf["pos_blob"].tolist()
-            # boundaries of (shard, term) runs within this batch
-            change = np.empty(len(pdf), dtype=bool)
+            sh = tbl.column("shard").chunk(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            term = tbl.column("term").chunk(0)
+            change = np.empty(n, dtype=bool)
             change[0] = True
-            change[1:] = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+            if n > 1:
+                change[1:] = sh[1:] != sh[:-1]
+                change[1:] |= pc.not_equal(
+                    term.slice(1), term.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
             starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                key = (int(shards[s]), str(terms[s]))
-                if key != cur_key:
-                    if cur_key is not None:
-                        out_rows.append(flush())
-                    cur_key, docs, tfs, poss = key, [], [], []
-                docs.append(doc_arr[s:e])
-                tfs.append(tf_arr[s:e])
-                poss.append(pos_list[s:e])
-            if out_rows:
-                yield pd.DataFrame(out_rows)
-        if cur_key is not None:
-            yield pd.DataFrame([flush()])
+            last = int(starts[-1])
+            if last == 0:  # whole batch is one run — keep accumulating
+                carry = tbl
+                continue
+            carry = tbl.slice(last)
+            doc = tbl.column("doc_id").chunk(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            tf = tbl.column("tf").chunk(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            yield encode(tbl, starts[:-1], sh[:last], doc[:last], tf[:last])
+        if carry is not None and carry.num_rows:
+            tbl = carry.combine_chunks()
+            sh = tbl.column("shard").chunk(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            doc = tbl.column("doc_id").chunk(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            tf = tbl.column("tf").chunk(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            yield encode(tbl, np.zeros(1, dtype=np.int64), sh, doc, tf)
 
     return write
 
@@ -589,7 +690,7 @@ def build_shards(
     return (
         p.repartitionByRange(int(n_parts), "shard", "term")
         .sortWithinPartitions("shard", "term", "doc_id")
-        .mapInPandas(_spimi_writer(shard_size), SHARD_ROW_SCHEMA)
+        .mapInArrow(_spimi_writer(shard_size), SHARD_ROW_SCHEMA)
     )
 
 
