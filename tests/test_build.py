@@ -234,3 +234,76 @@ def test_build_cache_is_content_free(spark):
     a = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(idx_s, "alpha w1", k=5).collect()]
     b = [(r["doc_id"], r["score"]) for r in Q.bm25_topk_df(idx_b, "alpha w1", k=5).collect()]
     assert a == b and a[0][0] == 1
+
+
+def test_spimi_writer_batch_seam_byte_identity():
+    """The Arrow-native SPIMI writer is byte-identical to per-run
+    ``codec.encode_postings`` / plain byte-joins even when a (shard,
+    term) run spans several Arrow batches (the carry path), including a
+    run longer than any single batch and a trailing single-run batch."""
+    import pyarrow as pa
+
+    from limetrans_spark.operators.build import _spimi_writer
+
+    shard_size = 64
+    rng = np.random.default_rng(3)
+    rows = []  # (shard, term, doc_id) sorted; tf/pos derived
+    for shard, term, docs in [
+        (0, "alpha", range(0, 5)),
+        (0, "beta", range(1, 40)),     # spans several 8-row batches
+        (0, "gamma", [7]),
+        (1, "beta", range(64, 70)),    # same term, new shard => new run
+        (1, "delta", range(65, 80)),   # trailing run hits the final-carry path
+    ]:
+        for d in docs:
+            npos = int(rng.integers(1, 5))
+            pos = np.unique(rng.integers(0, 50, size=npos)).astype(np.int64)
+            rows.append((shard, term, d, len(pos), codec.encode_positions([pos])))
+
+    arrays = [
+        pa.array([r[0] for r in rows], type=pa.int32()),
+        pa.array([r[1] for r in rows], type=pa.string()),
+        pa.array([r[2] for r in rows], type=pa.int64()),
+        pa.array([r[3] for r in rows], type=pa.int32()),
+        pa.array([r[4] for r in rows], type=pa.binary()),
+    ]
+    names = ["shard", "term", "doc_id", "tf", "pos_blob"]
+    full = pa.RecordBatch.from_arrays(arrays, names=names)
+    batches = [full.slice(i, 8) for i in range(0, full.num_rows, 8)]
+
+    out = pa.Table.from_batches(list(_spimi_writer(shard_size)(iter(batches))))
+
+    # reference: per-run encode over the undivided input
+    want = {}
+    by_run: dict[tuple[int, str], list] = {}
+    for r in rows:
+        by_run.setdefault((r[0], r[1]), []).append(r)
+    for (shard, term), rs in by_run.items():
+        d = np.array([r[2] for r in rs], dtype=np.int64)
+        t = np.array([r[3] for r in rs], dtype=np.int64)
+        doc_blob, tf_blob, bl, bm = codec.encode_postings(
+            d, t, base=shard * shard_size
+        )
+        want[(shard, term)] = {
+            "n": len(rs),
+            "doc_blob": doc_blob,
+            "tf_blob": tf_blob,
+            "pos_blob": b"".join(r[4] for r in rs),
+            "block_last": bl,
+            "block_max_tf": bm,
+            "sum_tf": int(t.sum()),
+        }
+
+    got = {
+        (r["shard"], r["term"]): r for r in out.to_pylist()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n"] == w["n"], k
+        assert g["doc_blob"] == w["doc_blob"], k
+        assert g["tf_blob"] == w["tf_blob"], k
+        assert g["pos_blob"] == w["pos_blob"], k
+        assert list(g["block_last"]) == [int(x) for x in w["block_last"]], k
+        assert list(g["block_max_tf"]) == [int(x) for x in w["block_max_tf"]], k
+        assert g["sum_tf"] == w["sum_tf"], k
