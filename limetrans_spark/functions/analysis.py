@@ -117,7 +117,14 @@ def _fold(s: str) -> str:
     """ICU-folding analogue: NFC normalize, strip combining marks, and
     expand the ligatures NFKD leaves intact (ß→ss, æ/œ — the cases
     icu_folding + german_normalization cover in the reference chain,
-    hbztitle-settings-v8.json:46-49,173-178)."""
+    hbztitle-settings-v8.json:46-49,173-178).
+
+    Every step is the identity on pure-ASCII input (NFC/NFKD leave
+    ASCII untouched, the ligatures and combining marks are all
+    non-ASCII), so ASCII strings — the overwhelming case in a source
+    code corpus — short-circuit on one C-level scan."""
+    if s.isascii():
+        return s
     s = unicodedata.normalize("NFC", s)
     s = s.replace("ß", "ss").replace("ẞ", "SS").replace("æ", "ae").replace(
         "Æ", "AE"
@@ -132,6 +139,33 @@ class GraphToken:
     pos: int
 
 
+# Identifiers repeat massively in code (the same function/variable names
+# occur in thousands of files), so the split/casefold work per DISTINCT
+# raw token is memoized: raw token → (emit template [(term, Δpos)…],
+# position width).  The cache is insert-only and bounded, so executor
+# memory stays fixed and the output is independent of arrival order —
+# a miss recomputes the same pure function.
+_TOKEN_MEMO: dict[str, tuple[tuple[tuple[str, int], ...], int]] = {}
+_TOKEN_MEMO_CAP = 1 << 17
+
+
+def _analyze_raw(raw: str) -> tuple[tuple[tuple[str, int], ...], int]:
+    """Split one raw (already folded) token into its graph-emit template:
+    ((term, relative position)…, position width)."""
+    parts = [p for seg in _DELIM.split(raw) for p in _CAMEL.split(seg) if p]
+    if len(parts) == 1:
+        return ((parts[0].lower(), 0),), 1
+    lparts = [p.lower() for p in parts]
+    catenated = "".join(lparts)
+    original = raw.lower()
+    # overlap tokens at the start position (posInc 0; not counted in dl)
+    emits = [(catenated, 0)]
+    if original != catenated:
+        emits.append((original, 0))
+    emits.extend((p, i) for i, p in enumerate(lparts))
+    return tuple(emits), len(parts)
+
+
 def code_tokenize_py(text: str) -> list[tuple[str, int]]:
     """Graph-tokenize one string. Returns [(term, pos)] sorted by pos.
 
@@ -140,23 +174,21 @@ def code_tokenize_py(text: str) -> list[tuple[str, int]]:
     """
     out: list[tuple[str, int]] = []
     pos = 0
+    memo = _TOKEN_MEMO
     for m in _RAW_TOKEN.finditer(_fold(text)):
         raw = m.group(0)
-        parts = [p for seg in _DELIM.split(raw) for p in _CAMEL.split(seg) if p]
-        if len(parts) == 1:
-            out.append((parts[0].lower(), pos))
-            pos += 1
-            continue
-        lparts = [p.lower() for p in parts]
-        catenated = "".join(lparts)
-        original = raw.lower()
-        # overlap tokens at the start position (posInc 0; not counted in dl)
-        out.append((catenated, pos))
-        if original != catenated:
-            out.append((original, pos))
-        for i, p in enumerate(lparts):
-            out.append((p, pos + i))
-        pos += len(parts)
+        tmpl = memo.get(raw)
+        if tmpl is None:
+            tmpl = _analyze_raw(raw)
+            if len(memo) < _TOKEN_MEMO_CAP:
+                memo[raw] = tmpl
+        emits, width = tmpl
+        if width == 1 and len(emits) == 1:
+            out.append((emits[0][0], pos))
+        else:
+            for term, dp in emits:
+                out.append((term, pos + dp))
+        pos += width
     return out
 
 

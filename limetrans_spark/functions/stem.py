@@ -13,6 +13,8 @@ recall the reference uses stemming for.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 _VOWELS = set("aeiou")
 
 
@@ -73,7 +75,11 @@ _STEP4 = [
 ]
 
 
+@lru_cache(maxsize=1 << 17)
 def porter_stem(word: str) -> str:
+    # memoized: vocabulary repeats massively across a corpus, so the
+    # per-occurrence cost collapses to a dict hit (pure function —
+    # caching cannot change output)
     w = word.lower()
     if len(w) <= 2:
         return w

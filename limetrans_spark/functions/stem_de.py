@@ -45,6 +45,8 @@ official diffs.txt to import — noted there).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 _VOWELS = set("aeiouyäöü")  # a e i o u y ä ö ü (lowercase only;
 # marked U/Y are consonants by construction)
 _S_ENDING = set("bdfghklmnrt")
@@ -194,8 +196,12 @@ def _stem_marked(w: str) -> str:
     return w.translate(_POSTLUDE)
 
 
+@lru_cache(maxsize=1 << 17)
 def german2_stem(word: str) -> str:
-    """Snowball German2 (the reference's ``snowball_german_umlaut``)."""
+    """Snowball German2 (the reference's ``snowball_german_umlaut``).
+
+    Memoized: vocabulary repeats massively across a corpus, so the
+    per-occurrence cost collapses to a dict hit (pure function)."""
     return _stem_marked(_prelude(word.lower(), fold_ae_oe_ue=True))
 
 

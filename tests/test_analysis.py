@@ -225,3 +225,63 @@ def test_simple_stop_fielded_tier(spark):
         ).collect()
     }
     assert hits == {1}
+
+
+def test_memoized_tokenizer_identity_fuzz():
+    """The token-template memo and the ASCII `_fold` fast path must be
+    byte-invisible: fuzz the memoized tokenizer against a straight
+    re-derivation of the pre-memo algorithm (regex split per
+    occurrence, full unicode fold unconditionally)."""
+    import random
+    import unicodedata
+
+    from limetrans_spark.functions.analysis import (
+        _CAMEL,
+        _DELIM,
+        _RAW_TOKEN,
+        code_tokenize_py,
+    )
+
+    def fold_ref(s):
+        s = unicodedata.normalize("NFC", s)
+        s = (
+            s.replace("ß", "ss").replace("ẞ", "SS").replace("æ", "ae")
+            .replace("Æ", "AE").replace("œ", "oe").replace("Œ", "OE")
+        )
+        nk = unicodedata.normalize("NFKD", s)
+        return "".join(c for c in nk if not unicodedata.combining(c))
+
+    def tokenize_ref(text):
+        out, pos = [], 0
+        for m in _RAW_TOKEN.finditer(fold_ref(text)):
+            raw = m.group(0)
+            parts = [
+                p for seg in _DELIM.split(raw) for p in _CAMEL.split(seg) if p
+            ]
+            if len(parts) == 1:
+                out.append((parts[0].lower(), pos))
+                pos += 1
+                continue
+            lparts = [p.lower() for p in parts]
+            catenated = "".join(lparts)
+            original = raw.lower()
+            out.append((catenated, pos))
+            if original != catenated:
+                out.append((original, pos))
+            out.extend((p, pos + i) for i, p in enumerate(lparts))
+            pos += len(parts)
+        return out
+
+    rng = random.Random(20260818)
+    vocab = [
+        "parseJson", "get_value", "HTTPServer", "foo-barBaz_qux", "Größe",
+        "straße", "cœur", "Ærø", "naïve", "ﬁle", "étude", "ＡＢＣ123",
+        "XMLParser2", "id42x7", "a", "B2", "__x__", "--", "çàé",
+    ]
+    cases = [" ".join(rng.choices(vocab, k=rng.randint(0, 30))) for _ in range(200)]
+    cases += [
+        "".join(chr(rng.randint(32, 0x2FF)) for _ in range(rng.randint(0, 60)))
+        for _ in range(2000)
+    ]
+    for s in cases:
+        assert code_tokenize_py(s) == tokenize_ref(s), repr(s)
