@@ -694,6 +694,161 @@ def build_shards(
     )
 
 
+def build_shards_docwise(
+    inverted: DataFrame,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    num_partitions: int | None = None,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Doc-wise shards strategy: shuffle ONE row per document, sort in C.
+
+    :func:`build_shards` explodes postings BEFORE the shuffle, so the
+    range shuffle and the JVM sort both handle one row per posting
+    (~50 rows per doc) — measured as the dominant build stage at 1M
+    docs even after the Arrow writer rewrite.  But every posting of a
+    document lands in the same shard (shard = doc_id / shard_size), so
+    the shuffle only ever needs to MOVE documents; the posting-level
+    order can be recovered after routing.  This variant hash-partitions
+    the inverted rows by shard (48× fewer shuffle rows at ~50
+    postings/doc), sorts (shard, doc_id) JVM-side — cheap at doc
+    granularity — and then, per shard, flattens the postings lists and
+    sorts (term, doc_id) with Arrow's C kernels before handing the
+    SORTED stream to the same :func:`_spimi_writer`.  Output is
+    byte-identical to :func:`build_shards` (pinned by
+    tests/test_build.py): per (shard, term) the same doc-ordered run,
+    one output row per run (whole shards never straddle partitions
+    under hash partitioning).
+
+    Tradeoffs vs :func:`build_shards` — this is NOT a drop-in default:
+
+    * memory is O(one shard's postings) per task (the C sort needs the
+      whole shard), not O(1) streaming — callers must keep
+      ``shard_size × avgdl`` Arrow-resident-friendly (:func:`build_index`
+      guards on it);
+    * parallelism is ≥1 whole shard per task, so it needs
+      n_shards >> cores (small corpora keep the range strategy, which
+      splits one shard's terms across every core).
+
+    Measured (BENCH/BASELINE.md, 1M docs / 123 shards / local[32]):
+    37 → 8–14 s for the shards stage, byte-equal content hash.
+    """
+    import pyarrow as pa
+
+    inner = _spimi_writer(shard_size)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _empty_bin(n: int) -> "pa.BinaryArray":
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(np.zeros(n + 1, dtype=np.int32)),
+                 pa.py_buffer(b"")],
+            )
+
+        def flatten_sort(doc_np: np.ndarray, plist: "pa.ListArray") -> "pa.RecordBatch":
+            # one whole shard: flatten the postings lists (C), recover
+            # (term, doc_id) order with Arrow's C sort — the key is
+            # unique per shard, so stability is irrelevant
+            lens = plist.value_lengths().to_numpy(zero_copy_only=False)
+            vals = plist.flatten()
+            doc_rep = np.repeat(doc_np, lens)
+            shard = np.full(doc_rep.size, int(doc_np[0]) // shard_size, np.int32)
+            term = vals.field("term")
+            idx = pc.sort_indices(
+                pa.table({"term": term, "doc_id": pa.array(doc_rep, pa.int64())}),
+                sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
+            )
+            pos = (
+                vals.field("pos_blob").take(idx)
+                if with_positions
+                else _empty_bin(doc_rep.size)
+            )
+            return pa.record_batch(
+                [
+                    pa.array(shard),
+                    term.take(idx),
+                    pa.array(doc_rep, pa.int64()).take(idx),
+                    vals.field("tf").take(idx),
+                    pos,
+                ],
+                names=["shard", "term", "doc_id", "tf", "pos_blob"],
+            )
+
+        def shard_groups() -> Iterator["pa.RecordBatch"]:
+            # rows arrive sorted by (shard, doc_id); a shard may span
+            # Arrow batches, so carry its slices until the shard changes
+            acc: list[tuple[np.ndarray, "pa.ListArray"]] = []
+            cur: int | None = None
+            for rb in batches:
+                tbl = pa.Table.from_batches([rb]).combine_chunks()
+                if tbl.num_rows == 0:
+                    continue
+                doc = tbl.column("doc_id").chunk(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                sh = doc // shard_size
+                change = np.nonzero(np.diff(sh))[0] + 1
+                bounds = np.concatenate(([0], change, [doc.size]))
+                pl = tbl.column("postings").chunk(0)
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    s = int(sh[a])
+                    if cur is not None and s != cur:
+                        yield merge_group(acc)
+                        acc = []
+                    cur = s
+                    acc.append((doc[a:b], pl.slice(int(a), int(b - a))))
+            if acc:
+                yield merge_group(acc)
+
+        def merge_group(
+            acc: list[tuple[np.ndarray, "pa.ListArray"]]
+        ) -> "pa.RecordBatch":
+            if len(acc) == 1:
+                return flatten_sort(*acc[0])
+            return flatten_sort(
+                np.concatenate([d for d, _ in acc]),
+                pa.concat_arrays([p for _, p in acc]),
+            )
+
+        yield from inner(shard_groups())
+
+    n_parts = num_partitions or inverted.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    return (
+        inverted.select(
+            "doc_id",
+            "postings",
+            (F.col("doc_id") / F.lit(shard_size)).cast("int").alias("shard"),
+        )
+        .repartition(int(n_parts), "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .drop("shard")
+        .mapInArrow(fn, SHARD_ROW_SCHEMA)
+    )
+
+
+# a task buffers one whole shard's postings on the docwise path; keep
+# that comfortably Arrow-resident (≈ a few hundred MB at 8-byte order)
+DOCWISE_MAX_SHARD_POSTINGS = 64_000_000
+
+
+def choose_shards_strategy(
+    n_docs: int, avgdl: float, shard_size: int, num_partitions: int
+) -> str:
+    """'docwise' when every task gets ≥2 whole shards AND a shard's
+    postings fit task memory; else the streaming 'range' strategy."""
+    n_shards = (n_docs + shard_size - 1) // shard_size if shard_size else 0
+    if (
+        n_shards >= 2 * num_partitions
+        and shard_size * max(avgdl, 1.0) <= DOCWISE_MAX_SHARD_POSTINGS
+    ):
+        return "docwise"
+    return "range"
+
+
 SHARD_DL_SCHEMA = "shard int, n int, doc_blob binary, dl_blob binary"
 
 
@@ -846,7 +1001,19 @@ def build_index(
     doclens = lean.filter(F.col("dl") > 0).select("doc_id", "dl").persist()
     n_docs, avgdl = corpus_stats(doclens)
     terms = term_stats(postings)
-    shards = build_shards(postings, shard_size=shard_size)
+    # shards strategy (see build_shards_docwise): doc-wise shuffle + C
+    # sort when shards outnumber cores and fit task memory, else the
+    # streaming range strategy; both emit byte-identical shard rows
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    strategy = choose_shards_strategy(n_docs, avgdl, shard_size, n_parts)
+    if strategy == "docwise" and with_positions:
+        shards = build_shards_docwise(lean, shard_size=shard_size)
+    elif strategy == "docwise":
+        shards = build_shards_docwise(
+            lean, shard_size=shard_size, with_positions=False
+        )
+    else:
+        shards = build_shards(postings, shard_size=shard_size)
     docstore = docs.join(doclens, "doc_id", "left").fillna({"dl": 0})
 
     metrics = {
@@ -854,6 +1021,7 @@ def build_index(
         "avgdl": avgdl,
         "analyzer": analyzer,
         "shard_size": shard_size,
+        "shards_strategy": strategy,
     }
     return BuiltIndex(
         docstore=docstore,

@@ -307,3 +307,69 @@ def test_spimi_writer_batch_seam_byte_identity():
         assert list(g["block_last"]) == [int(x) for x in w["block_last"]], k
         assert list(g["block_max_tf"]) == [int(x) for x in w["block_max_tf"]], k
         assert g["sum_tf"] == w["sum_tf"], k
+
+
+def _shard_rows_dict(df):
+    return {
+        (r["shard"], r["term"]): (
+            r["n"], r["doc_blob"], r["tf_blob"], r["pos_blob"],
+            list(r["block_last"]), list(r["block_max_tf"]), r["sum_tf"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_docwise_shards_byte_identity(spark):
+    """build_shards_docwise (doc-level shuffle, C-side per-shard
+    flatten+sort) emits byte-identical shard rows to the streaming
+    range strategy — including shards spanning Arrow batches, docs with
+    empty postings, and the positions-free variant."""
+    from limetrans_spark.operators.build import (
+        build_shards,
+        build_shards_docwise,
+        explode_postings,
+        invert_docs,
+    )
+
+    base = assign_doc_ids(synth_corpus(spark, 600, max_tokens=120, partitions=8))
+    # splice in tokenless docs so some shard groups carry empty lists
+    docs = base.withColumn(
+        "content",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("")).otherwise(F.col("content")),
+    )
+    lean = invert_docs(docs, "content", "code").select(
+        "doc_id", "dl", "postings"
+    ).persist()
+    post = explode_postings(lean)
+    shard_size = 16  # 38 shards >> the 8 test cores; groups span batches
+
+    got = _shard_rows_dict(build_shards_docwise(lean, shard_size))
+    want = _shard_rows_dict(build_shards(post, shard_size))
+    assert got == want and len(want) > 500
+
+    got_np = _shard_rows_dict(
+        build_shards_docwise(lean, shard_size, with_positions=False)
+    )
+    want_np = _shard_rows_dict(build_shards(post.drop("pos_blob"), shard_size))
+    assert got_np == want_np
+    lean.unpersist()
+
+
+def test_shards_strategy_choice_and_build_index_metric(spark):
+    from limetrans_spark.operators.build import choose_shards_strategy
+
+    # parallelism gate: needs >= 2 whole shards per partition
+    assert choose_shards_strategy(10_000, 50.0, 64, 8) == "docwise"
+    assert choose_shards_strategy(500, 50.0, 64, 8) == "range"
+    # memory gate: one shard's postings must fit a task
+    assert choose_shards_strategy(10**9, 200.0, 1 << 20, 8) == "range"
+
+    idx = build_index(synth_corpus(spark, 300, partitions=4), shard_size=16)
+    assert idx.metrics["shards_strategy"] == "docwise"
+    # the docwise-built index serves rank-identical BM25 vs the DF tier
+    from limetrans_spark.operators import query as Q
+
+    a = Q.bm25_topk_df(idx, "parse json", k=5).collect()
+    b = Q.bm25_topk_sharded(idx, "parse json", k=5).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert all(abs(x["score"] - y["score"]) < 1e-9 for x, y in zip(a, b))
