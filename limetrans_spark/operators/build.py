@@ -781,6 +781,7 @@ def build_shards_docwise(
             # Arrow batches, so carry its slices until the shard changes
             acc: list[tuple[np.ndarray, "pa.ListArray"]] = []
             cur: int | None = None
+            first = True
             for rb in batches:
                 tbl = pa.Table.from_batches([rb]).combine_chunks()
                 if tbl.num_rows == 0:
@@ -788,6 +789,17 @@ def build_shards_docwise(
                 doc = tbl.column("doc_id").chunk(0).to_numpy(
                     zero_copy_only=False
                 ).astype(np.int64)
+                if first:
+                    first = False
+                    # rows arrive doc_id-sorted, so doc[0] is the
+                    # partition minimum: negative ids would make the SQL
+                    # routing (truncating division) and the floor
+                    # division here disagree and silently split a shard
+                    if doc[0] < 0:
+                        raise ValueError(
+                            "build_shards_docwise requires non-negative "
+                            "doc_id (dense ids from assign_doc_ids)"
+                        )
                 sh = doc // shard_size
                 change = np.nonzero(np.diff(sh))[0] + 1
                 bounds = np.concatenate(([0], change, [doc.size]))

@@ -373,3 +373,16 @@ def test_shards_strategy_choice_and_build_index_metric(spark):
     b = Q.bm25_topk_sharded(idx, "parse json", k=5).collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     assert all(abs(x["score"] - y["score"]) < 1e-9 for x, y in zip(a, b))
+
+
+def test_docwise_rejects_negative_doc_ids(spark):
+    """Negative doc_ids would make the SQL shard routing (truncating
+    division) disagree with the in-UDF floor division; fail fast."""
+    from limetrans_spark.operators.build import build_shards_docwise, invert_docs
+
+    docs = spark.createDataFrame(
+        [(-5, "alpha beta"), (3, "beta gamma")], "doc_id long, content string"
+    )
+    lean = invert_docs(docs, "content", "simple").select("doc_id", "dl", "postings")
+    with pytest.raises(Exception, match="non-negative"):
+        build_shards_docwise(lean, 8).collect()
