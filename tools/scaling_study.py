@@ -28,7 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RANK_QUERIES = ["tokenize score", "parse json", "license warranties", "blockmaxwand | deltagap"]
 
 
-def measure(cpus: int, n_docs: int, corpus_dir: str) -> dict:
+def measure(cpus: int, n_docs: int, corpus_dir: str, shard_size: int = 1 << 14) -> dict:
     from pyspark.sql import functions as F
 
     from limetrans_spark.operators import query as Q
@@ -56,7 +56,7 @@ def measure(cpus: int, n_docs: int, corpus_dir: str) -> dict:
         # every measured build re-tokenizes from parquet
         spark.catalog.clearCache()
         t0 = time.time()
-        idx = build_index(corpus, analyzer="code", shard_size=1 << 14, id_mode="hash")
+        idx = build_index(corpus, analyzer="code", shard_size=shard_size, id_mode="hash")
         # concurrent artifact writes off the shared inverted cache (same
         # as save_index / bench.py)
         import concurrent.futures as cf
@@ -148,7 +148,7 @@ def cpu_ceiling() -> dict:
     return out
 
 
-def run_all(n_docs: int, n: int = 4, n4: int = 16) -> None:
+def run_all(n_docs: int, n: int = 4, n4: int = 16, shard_size: int = 1 << 14) -> None:
     """N vs 4N study.  Default pairing is local[4] vs local[16]: every
     Spark task of this pipeline runs 1 JVM thread + 1 Python worker, so
     local[N] consumes ~2N hardware threads — local[16] already saturates
@@ -156,7 +156,9 @@ def run_all(n_docs: int, n: int = 4, n4: int = 16) -> None:
     (measured: invert throughput is flat from 16 to 32).  On a real
     cluster "N executors → 4N executors" adds hardware proportionally,
     which 4→16 models and 8→32 cannot on one box."""
-    corpus_dir = os.path.join(REPO, ".scaling_corpus")
+    # key the cached corpus by size — a fixed dir would silently reuse
+    # whatever n_docs generated it first
+    corpus_dir = os.path.join(REPO, f".scaling_corpus_{n_docs}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         gen_corpus(n_docs, corpus_dir)
     # interleave configurations so slow host-load drift hits both equally;
@@ -164,7 +166,8 @@ def run_all(n_docs: int, n: int = 4, n4: int = 16) -> None:
     results: dict[int, dict] = {}
     for cpus in (n, n4, n, n4):
         out = subprocess.run(
-            [sys.executable, __file__, str(cpus), str(n_docs), corpus_dir],
+            [sys.executable, __file__, str(cpus), str(n_docs), corpus_dir,
+             str(shard_size)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         line = out.stdout.strip().splitlines()[-1]
@@ -195,6 +198,12 @@ def run_all(n_docs: int, n: int = 4, n4: int = 16) -> None:
 
 if __name__ == "__main__":
     if sys.argv[1] == "--all":
-        run_all(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+        run_all(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
+            shard_size=int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 14,
+        )
     else:
-        print(json.dumps(measure(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])))
+        print(json.dumps(measure(
+            int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else 1 << 14,
+        )))
