@@ -201,6 +201,8 @@ if __name__ == "__main__":
         run_all(
             int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
             shard_size=int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 14,
+            n=int(sys.argv[4]) if len(sys.argv) > 4 else 4,
+            n4=int(sys.argv[5]) if len(sys.argv) > 5 else 16,
         )
     else:
         print(json.dumps(measure(
