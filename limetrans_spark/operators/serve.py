@@ -353,6 +353,14 @@ class LocalSearcher:
                     cand = np.nonzero(mask)[0]
                 d = cand + base
                 s = scores[cand]
+            if len(d) > k:
+                # per-shard vectorized top-k under the SAME ordering the
+                # global heap uses (score desc, doc_id asc) — a high-df
+                # AND can leave ~10% of the corpus as candidates, and
+                # pushing each through the Python heap dominated warm
+                # latency (1M-doc probe: 279 ms for a two-common-term AND)
+                order = np.lexsort((d, -np.asarray(s)))[:k]
+                d, s = np.asarray(d)[order], np.asarray(s)[order]
             for doc, sc in zip(d, s):
                 item = (float(sc), -int(doc))
                 if len(heap) < k:

@@ -11,6 +11,9 @@ Checks (each an assertion, not just a timing):
   * prefix expansion: the top-128-by-df cap BINDS (matching vocab >
     128) and both tiers agree under it;
   * exact dedup finds the planted ~5% duplicate rows;
+  * serving tier: publish the snapshot, open it WITHOUT Spark (full +
+    1/16-slice replica), rank-identical to the WAND tier, replica
+    scores equal the full searcher's (global statistics);
   * MinHash-LSH candidates ⊇ planted exact dups (recall on true dups);
   * near_dup_clusters on the LSH pair graph == driver union-find.
 
@@ -89,6 +92,7 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
 
     rank_ok = True
     q_times = {}
+    wand_res: dict[str, list] = {}
     for name, q in [
         ("common", "id1x1 id2x2"),
         ("rare_or", "id19000x85 | id18500x70"),
@@ -102,6 +106,7 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
             (r.doc_id, round(r.score, 9))
             for r in Q.bm25_topk_sharded(idx, q, k=20).collect()
         ])
+        wand_res[name] = b
         rank_ok = rank_ok and a == b
         # rank identity over an EMPTY result set is vacuous — the r5
         # probe originally queried id19000x76/id18500x62/id17000x69,
@@ -126,6 +131,95 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
     res["prefix_rank_identical"] = a == b
     res["rank_identical"] = res["rank_identical"] and a == b
 
+    # --- serving tier at probe scale --------------------------------------
+    # The 100 TB deployment story: Spark owns build + publish, replicas
+    # open the published snapshot WITHOUT Spark and answer at interactive
+    # latency.  Measure the pieces at this corpus size: publish wall,
+    # artifact bytes, full-snapshot load, a 1/16-slice replica load, warm
+    # query latency — and assert the serving tier is rank-identical to
+    # the sharded WAND tier (full) / score-identical with GLOBAL
+    # statistics (replica slice).
+    import shutil
+    import tempfile
+
+    from limetrans_spark.operators.serve import LocalSearcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    serve_root = tempfile.mkdtemp(prefix="scale_probe_snap_")
+    try:
+        snap, t_snap = timed(
+            lambda: lc.save_index(idx, serve_root, "probe", "g1")
+        )
+        sizes = {}
+        for sub in ("shards", "terms", "shard_dl", "docstore", "postings"):
+            p = os.path.join(snap, sub)
+            sizes[sub] = round(sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(p) for fn in fns
+            ) / 2**20, 1)
+        res["snapshot_sec"] = round(t_snap, 2)
+        res["snapshot_mb"] = sizes
+        # what a QUERY replica actually reads (docstore/postings serve
+        # fetch-by-id and delta compaction, not search)
+        search_mb = sizes["shards"] + sizes["terms"] + sizes["shard_dl"]
+        res["snapshot_search_bytes_per_doc"] = round(
+            search_mb * 2**20 / n_docs, 1
+        )
+        log(f"snapshot {t_snap:.1f}s search-artifacts {search_mb:.0f}MB")
+
+        srv, t_load = timed(lambda: LocalSearcher.from_snapshot(snap))
+        res["serve_load_full_sec"] = round(t_load, 2)
+        n_shards = (n_docs - 1) // idx.shard_size + 1
+        subset = [s for s in range(n_shards) if s % 16 == 0]
+        replica, t_rep = timed(
+            lambda: LocalSearcher.from_snapshot(snap, shard_subset=subset)
+        )
+        res["serve_load_replica_sec"] = round(t_rep, 2)
+        res["replica_shards"] = f"{len(subset)}/{n_shards}"
+        log(f"serve load full {t_load:.1f}s replica {t_rep:.1f}s")
+
+        # rank identity vs the WAND tier on the same probe queries
+        serve_ok = True
+        for name, q in [
+            ("common", "id1x1 id2x2"),
+            ("rare_or", "id19000x85 | id18500x70"),
+            ("mixed_not", "id1x1 -id17000x25"),
+        ]:
+            got = [(d, round(s, 9)) for d, s in srv.search(q, k=20)]
+            serve_ok = serve_ok and got == wand_res[name]
+        res["serve_rank_identical"] = serve_ok
+
+        # warm latency (best-of: 20 reps after a warming call)
+        serve_ms = {}
+        for name, q in [
+            ("and", "id1x1 id2x2"),
+            ("or", "id19000x85 | id18500x70"),
+            ("phrase", '"applicable law"'),
+        ]:
+            srv.search(q, k=10)
+            t0 = time.time()
+            for _ in range(20):
+                srv.search(q, k=10)
+            serve_ms[name] = round((time.time() - t0) / 20 * 1000, 2)
+        res["serve_warm_ms"] = serve_ms
+        log(f"serve warm {serve_ms}")
+
+        # replica slice: same scores as the full searcher (global stats),
+        # docs confined to its shards — the property that makes
+        # cross-replica top-k merges exact
+        full_scores = dict(srv.search("id1x1 id2x2", k=5000))
+        got = replica.search("id1x1 id2x2", k=300)
+        on_slice = all(d // idx.shard_size in set(subset) for d, _ in got)
+        overlap = [(d, s) for d, s in got if d in full_scores]
+        scores_eq = all(
+            abs(s - full_scores[d]) < 1e-9 for d, s in overlap
+        )
+        res["replica_consistent"] = bool(
+            got and on_slice and overlap and scores_eq
+        )
+    finally:
+        shutil.rmtree(serve_root, ignore_errors=True)
+
     # --- dedup ground truth ----------------------------------------------
     exact, t_exact = timed(
         lambda: dedup.exact_dedup(docs, id_col="doc_id", text_col="text")
@@ -146,6 +240,8 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
             and res["prefix_cap_binds"]
             and res["prefix_rank_identical"]
             and res["exact_dups_plausible"]
+            and res["serve_rank_identical"]
+            and res["replica_consistent"]
         )
         print(json.dumps(res))
         return 0 if res["ok"] else 1
@@ -207,6 +303,8 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
         and res["prefix_cap_binds"]
         and res["prefix_rank_identical"]
         and res["exact_dups_plausible"]
+        and res["serve_rank_identical"]
+        and res["replica_consistent"]
         and res["minhash_missed_true_dups"] == 0
         and res["clusters_match_union_find"]
     )
