@@ -39,14 +39,21 @@ from .query import (
 MAX_EXPANSIONS = 128
 
 
+def _topk_vec(docs: np.ndarray, score: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """Exact top-k under (score desc, doc_id asc) without sorting the
+    full candidate set: argpartition finds the k-th score threshold in
+    O(n), then only the ≥-threshold candidates (k plus boundary ties)
+    are lexsorted.  Bit-identical to a full lexsort."""
+    if docs.size > max(4 * k, 1024):
+        thresh = float(score[np.argpartition(-score, k - 1)[:k]].min())
+        keep = np.nonzero(score >= thresh)[0]
+        docs, score = docs[keep], score[keep]
+    order = np.lexsort((docs, -score))[:k]
+    return [(int(docs[i]), float(score[i])) for i in order]
+
+
 class LocalSearcher:
     """In-memory searcher over a built/published index."""
-
-    @staticmethod
-    def _pa(vals):
-        import pyarrow as pa
-
-        return pa.array(vals)
 
     def __init__(
         self,
@@ -77,7 +84,13 @@ class LocalSearcher:
         # fetched lazily by index so posting blobs never materialize as
         # Python objects until a query touches their term
         self._table = None
-        self._rowidx: dict[tuple[int, str], int] = {}
+        self._snap_v = 0
+        self._snap_code: dict[str, int] = {}
+        self._snap_keys: np.ndarray | None = None
+        self._snap_rows: np.ndarray | None = None  # None = keys row-ordered
+        # global (cross-shard) posting cache for the vectorized AND path
+        self._gcache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._dlg: np.ndarray | None = None
         self._dl: dict[int, np.ndarray] = {}
         for r in shard_dl_rows:
             sh = int(r["shard"])
@@ -120,21 +133,23 @@ class LocalSearcher:
         import json as _json
         import os as _os
 
-        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         with open(_os.path.join(snap, "manifest.json")) as f:
             m = _json.load(f)
-        table = _pq.read_table(_os.path.join(snap, "shards")).combine_chunks()
-        sdl_t = _pq.read_table(_os.path.join(snap, "shard_dl"))
+        # shard_subset pushes down into the parquet scan: with the
+        # shards artifact written range-partitioned by (shard, term)
+        # (save_index), file/row-group statistics prune non-slice files
+        # so a 1/K replica reads ~1/K of the bytes instead of scanning
+        # everything and filtering in memory
+        filt = None
         if shard_subset is not None:
             keep = list(set(shard_subset))
-            table = table.filter(
-                _pc.is_in(table.column("shard"), value_set=cls._pa(keep))
-            ).combine_chunks()
-            sdl_t = sdl_t.filter(
-                _pc.is_in(sdl_t.column("shard"), value_set=cls._pa(keep))
-            )
+            filt = [("shard", "in", keep)]
+        table = _pq.read_table(
+            _os.path.join(snap, "shards"), filters=filt
+        ).combine_chunks()
+        sdl_t = _pq.read_table(_os.path.join(snap, "shard_dl"), filters=filt)
         sdl = sdl_t.to_pylist()  # one small row per shard
         terms_t = _pq.read_table(
             _os.path.join(snap, "terms"), columns=["term", "df"]
@@ -154,15 +169,37 @@ class LocalSearcher:
             m["shard_size"],
             analyzer=m.get("metrics", {}).get("analyzer"),
         )
-        # columnar backend: key → row index only; blobs stay in Arrow
-        # buffers until first use (the startup cost is the key scan, not
-        # posting materialization)
+        # columnar backend: blobs stay in Arrow buffers until first use.
+        # The key index is NUMERIC, not a Python dict — at 1M docs the
+        # shards table holds ~1.9M (shard, term) rows, and materializing
+        # 1.9M term strings + a 1.9M-entry dict cost 3.5 s of the 8 s
+        # load.  Instead: dictionary-encode the term column (C++ hash
+        # pass), remap codes to global-sorted ranks, and binary-search a
+        # sorted composite shard*V+rank key.  When the artifact is
+        # written sorted by (shard, term) the keys arrive monotonic and
+        # the argsort is skipped entirely; any other layout falls back
+        # to one int64 argsort — correctness never depends on layout.
         self._table = table
         shards_np = table.column("shard").to_numpy()
-        terms_np = table.column("term").to_pylist()
-        self._rowidx = {
-            (int(s), t): i for i, (s, t) in enumerate(zip(shards_np, terms_np))
-        }
+        if table.num_rows:
+            enc = table.column("term").dictionary_encode().combine_chunks()
+            local_vocab = enc.dictionary.to_pylist()
+            rank = np.empty(len(local_vocab), dtype=np.int64)
+            rank[sorted(range(len(local_vocab)), key=local_vocab.__getitem__)] = (
+                np.arange(len(local_vocab))
+            )
+            self._snap_v = len(local_vocab)
+            self._snap_code = {
+                t: int(rank[i]) for i, t in enumerate(local_vocab)
+            }
+            keys = shards_np.astype(np.int64) * self._snap_v + rank[
+                enc.indices.to_numpy()
+            ]
+            if keys.size > 1 and bool(np.all(np.diff(keys) > 0)):
+                self._snap_keys, self._snap_rows = keys, None
+            else:
+                o = np.argsort(keys, kind="stable")
+                self._snap_keys, self._snap_rows = keys[o], o
         self._shards.update(int(s) for s in set(shards_np.tolist()))
         return self
 
@@ -173,8 +210,14 @@ class LocalSearcher:
         if key in self._decoded:
             return self._decoded[key]
         r = self._raw.get(key)
-        if r is None and self._table is not None:
-            i = self._rowidx.get(key)
+        if r is None and self._table is not None and self._snap_keys is not None:
+            i = None
+            c = self._snap_code.get(term)
+            if c is not None:
+                kk = shard * self._snap_v + c
+                j = int(np.searchsorted(self._snap_keys, kk))
+                if j < self._snap_keys.size and int(self._snap_keys[j]) == kk:
+                    i = j if self._snap_rows is None else int(self._snap_rows[j])
             if i is not None:
                 cols = self._table
                 r = {
@@ -199,6 +242,43 @@ class LocalSearcher:
         }
         self._decoded[key] = out
         return out
+
+    def _term_global(self, term: str, idf: float) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenated (docs, w) for one term across all loaded shards
+        — docs globally sorted because shard bases ascend and postings
+        are doc-sorted within a shard; w is the term's full BM25
+        contribution per posting (static given the index, so queries
+        only gather/scatter it).  Cached per term."""
+        e = self._gcache.get(term)
+        if e is None:
+            ds, ts = [], []
+            for shard in sorted(self._shards):
+                p = self._plist(shard, term)
+                if p is not None and p["docs"].size:
+                    ds.append(p["docs"])
+                    ts.append(p["tfs"])
+            if ds:
+                docs = np.concatenate(ds)
+                tf = np.concatenate(ts).astype(np.float64)
+                norm = BM25_K1 * (
+                    1.0 - BM25_B + BM25_B * self._dl_global()[docs] / self.avgdl
+                )
+                e = (docs, idf * tf * (BM25_K1 + 1.0) / (tf + norm))
+            else:
+                e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+            self._gcache[term] = e
+        return e
+
+    def _dl_global(self) -> np.ndarray:
+        """Doc-length vector indexed by ABSOLUTE doc id (zeros outside
+        the loaded shard slice — no posting can reference those)."""
+        if self._dlg is None:
+            size = (max(self._shards) + 1) * self.shard_size if self._shards else 0
+            dlg = np.zeros(size, dtype=np.float64)
+            for sh, dl in self._dl.items():
+                dlg[sh * self.shard_size:(sh + 1) * self.shard_size] = dl
+            self._dlg = dlg
+        return self._dlg
 
     def _expand(self, clause: Clause) -> list[str]:
         """Prefix: bisect the sorted vocab → O(log V + matches), not a
@@ -302,6 +382,54 @@ class LocalSearcher:
         if operator is None:
             operator = derived or "and"
         flat = not has_structure and derived is not None
+        if flat and operator == "and":
+            # global vectorized conjunction: the per-shard TAAT loop
+            # costs thousands of small-array numpy calls (130 ms for a
+            # two-common-term AND at 1M docs / 123 shards).  Two regimes,
+            # both scoring with the SAME sorted-term float64 summation
+            # order and (score desc, doc_id asc) tie-break as the TAAT
+            # path, so results stay bit-identical:
+            #  * sparse (a rare term bounds the intersection): intersect
+            #    the cross-shard doc lists smallest-first via
+            #    searchsorted, score only the intersection;
+            #  * dense (every term is high-df, the intersection is a
+            #    large fraction of the corpus): ONE global scatter-add
+            #    TAAT pass over the whole doc space — identical work to
+            #    the per-shard loop minus the 123× small-array overhead.
+            lists = [self._term_global(t, idfs[t]) for t in score_terms]
+            if any(d.size == 0 for d, _ in lists):
+                return []
+            dlg = self._dl_global()
+            if len(lists) == 1:
+                docs, w = lists[0]
+                return _topk_vec(docs, w, k)
+            min_df = min(d.size for d, _ in lists)
+            if min_df > dlg.size // 16:
+                scores = np.zeros(dlg.size, dtype=np.float64)
+                nmatch = np.zeros(dlg.size, dtype=np.int16)
+                for d2, w in lists:
+                    scores[d2] += w
+                    nmatch[d2] += 1
+                docs = np.nonzero(nmatch == np.int16(len(score_terms)))[0]
+                if docs.size == 0:
+                    return []
+                score = scores[docs]
+            else:
+                docs = None
+                for d2, _ in sorted(lists, key=lambda x: x[0].size):
+                    if docs is None:
+                        docs = d2
+                        continue
+                    j = np.searchsorted(d2, docs)
+                    ok = j < d2.size
+                    ok[ok] = d2[j[ok]] == docs[ok]
+                    docs = docs[ok]
+                    if docs.size == 0:
+                        return []
+                score = np.zeros(docs.size, dtype=np.float64)
+                for d2, w in lists:
+                    score += w[np.searchsorted(d2, docs)]
+            return _topk_vec(docs, score, k)
         heap: list[tuple[float, int]] = []
         for shard in sorted(self._shards):
             dl = self._dl.get(shard)

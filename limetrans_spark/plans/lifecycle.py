@@ -149,7 +149,12 @@ def save_index(
         # term-sorted dictionary → parquet min/max row-group stats answer
         # prefix scans (t*) without reading the whole vocabulary
         (idx.terms.repartitionByRange("term").sortWithinPartitions("term"), "terms"),
-        (idx.shards, "shards"),
+        # total (shard, term) order → parquet file/row-group min-max
+        # stats cluster by shard, so a replica opening a shard slice
+        # (LocalSearcher.from_snapshot shard_subset pushdown) reads
+        # ~slice-sized bytes, and the serving loader's composite key
+        # index arrives pre-sorted (no argsort at open)
+        (idx.shards.sort("shard", "term"), "shards"),
         (idx.shard_doclens(), "shard_dl"),
     ]
     with _cf.ThreadPoolExecutor(max_workers=len(writes)) as pool:

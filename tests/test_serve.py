@@ -121,3 +121,31 @@ def test_from_snapshot_sparkless_replica(spark, tmp_path):
     assert got and all(d // 32 in (0, 2) for d, _ in got)
     for d, s in got:
         assert abs(s - full[d]) < 1e-12
+
+
+def test_flat_and_vectorized_matches_taat(searcher):
+    """The global vectorized AND path (dense scatter-add / sparse
+    intersection / single-term) must stay BIT-identical to the per-shard
+    TAAT path; appending a no-op negation forces the general masked
+    branch, which is the TAAT reference."""
+    for q in ["tokenize score", "tokenize", "parse json license",
+              "varint tokenize"]:
+        ref = searcher.search(q + " -zzzznonexistentterm", k=50)
+        got = searcher.search(q, k=50)
+        assert got == ref, q
+    assert searcher.search("zzzznonexistentterm tokenize", k=5) == []
+
+
+def test_topk_vec_tie_break_exact():
+    """argpartition pre-selection keeps the exact (score desc, doc asc)
+    order even with heavy score ties at the k-th boundary."""
+    import numpy as np
+
+    from limetrans_spark.operators.serve import _topk_vec
+
+    rng = np.random.default_rng(7)
+    docs = np.arange(5000, dtype=np.int64)
+    score = rng.choice(np.linspace(0.0, 1.0, 40), size=5000)
+    got = _topk_vec(docs, score, 25)
+    order = np.lexsort((docs, -score))[:25]
+    assert got == [(int(docs[i]), float(score[i])) for i in order]
