@@ -52,6 +52,26 @@ def _topk_vec(docs: np.ndarray, score: np.ndarray, k: int) -> list[tuple[int, fl
     return [(int(docs[i]), float(score[i])) for i in order]
 
 
+def merge_topk(
+    partials: "list[list[tuple[int, float]]]", k: int
+) -> list[tuple[int, float]]:
+    """Merge per-replica top-k lists into the global top-k.
+
+    Exact because replicas score with GLOBAL statistics (df/avgdl ride
+    in the terms artifact regardless of ``shard_subset`` — see
+    :meth:`LocalSearcher.from_snapshot`): every replica's scores are
+    the full searcher's scores on its doc slice, so the global answer
+    is a pure (score desc, doc_id asc) merge of the partials.  Each
+    replica must be asked for ≥ k hits; slices are disjoint, so no
+    dedup is needed."""
+    flat = [p for part in partials for p in part]
+    if not flat:
+        return []
+    docs = np.fromiter((d for d, _ in flat), dtype=np.int64, count=len(flat))
+    score = np.fromiter((s for _, s in flat), dtype=np.float64, count=len(flat))
+    return _topk_vec(docs, score, k)
+
+
 class LocalSearcher:
     """In-memory searcher over a built/published index."""
 

@@ -149,3 +149,30 @@ def test_topk_vec_tie_break_exact():
     got = _topk_vec(docs, score, 25)
     order = np.lexsort((docs, -score))[:25]
     assert got == [(int(docs[i]), float(score[i])) for i in order]
+
+
+def test_replica_fanout_merge_exact(spark, tmp_path):
+    """R disjoint shard-slice replicas + merge_topk == the full
+    searcher, scores and tie-breaks included — the cross-replica
+    serving story (each replica scores with global statistics)."""
+    from limetrans_spark.operators.serve import merge_topk
+    from limetrans_spark.plans import lifecycle as lc
+
+    idx = build_index(synth_corpus(spark, 160, partitions=4), shard_size=32)
+    snap = lc.save_index(idx, str(tmp_path / "idx"), "code", "g1")
+    full = LocalSearcher.from_snapshot(snap)
+    n_shards = (160 - 1) // 32 + 1
+    slices = [
+        [s for s in range(n_shards) if s % 3 == r] for r in range(3)
+    ]
+    replicas = [
+        LocalSearcher.from_snapshot(snap, shard_subset=sl) for sl in slices
+    ]
+    for q in ["tokenize score", "parse | json", '"applicable law"', "varint*"]:
+        want = [(d, round(s, 9)) for d, s in full.search(q, k=12)]
+        got = [
+            (d, round(s, 9))
+            for d, s in merge_topk([r.search(q, k=12) for r in replicas], 12)
+        ]
+        assert got == want, q
+    assert merge_topk([[], []], 5) == []
