@@ -25,7 +25,7 @@ from .operators.query import (
     matching_docs_df,
     parse_query,
 )
-from .operators.serve import LocalSearcher
+from .operators.serve import LocalSearcher, merge_topk
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
@@ -42,6 +42,7 @@ __all__ = [
     "FieldedIndex",
     "LocalFieldedSearcher",
     "LocalSearcher",
+    "merge_topk",
     "apply_deletes",
     "assign_doc_ids",
     "bm25_topk_df",
