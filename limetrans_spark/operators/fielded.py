@@ -1093,9 +1093,13 @@ class LocalFieldedSharded:
         }
 
     @classmethod
-    def from_snapshot(cls, root: str) -> "LocalFieldedSharded":
+    def from_snapshot(
+        cls, root: str, cache_budget_bytes: int = 1 << 30
+    ) -> "LocalFieldedSharded":
         """Open every field's current snapshot under a ``save_fielded``
-        root — pure pyarrow, no Spark."""
+        root — pure pyarrow, no Spark.  ``cache_budget_bytes`` bounds
+        the replica's TOTAL decoded-posting cache (split evenly across
+        the per-field searchers)."""
         import json as _json
         import os as _os
 
@@ -1106,6 +1110,7 @@ class LocalFieldedSharded:
 
         with open(_os.path.join(root, "fielded_manifest.json")) as f:
             m = _json.load(f)
+        per_field = max(1, cache_budget_bytes // max(1, len(m["fields"])))
 
         def open_field(fname: str):
             froot = _os.path.join(root, "fields", fname)
@@ -1113,7 +1118,8 @@ class LocalFieldedSharded:
             if snap is None:
                 raise FileNotFoundError(f"no current snapshot for field {fname!r}")
             return fname, LocalSearcher.from_snapshot(
-                _os.path.join(froot, "snapshots", snap)
+                _os.path.join(froot, "snapshots", snap),
+                cache_budget_bytes=per_field,
             )
 
         # per-field loads are independent parquet scans — run them in a

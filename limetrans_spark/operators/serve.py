@@ -84,6 +84,7 @@ class LocalSearcher:
         avgdl: float,
         shard_size: int,
         analyzer: str | None = None,
+        cache_budget_bytes: int = 1 << 30,
     ):
         self.n_docs = n_docs
         self.avgdl = avgdl
@@ -111,6 +112,13 @@ class LocalSearcher:
         # global (cross-shard) posting cache for the vectorized AND path
         self._gcache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._dlg: np.ndarray | None = None
+        # decoded/global caches are byte-accounted against a shared
+        # budget with FIFO eviction — a replica's steady-state memory
+        # must stay bounded no matter the query mix (everything evicted
+        # is recomputable from the Arrow table / raw rows)
+        self.cache_budget_bytes = cache_budget_bytes
+        self._cache_bytes = 0
+        self._cache_sizes: dict[tuple, int] = {}
         self._dl: dict[int, np.ndarray] = {}
         for r in shard_dl_rows:
             sh = int(r["shard"])
@@ -137,7 +145,10 @@ class LocalSearcher:
 
     @classmethod
     def from_snapshot(
-        cls, snap: str, shard_subset: "list[int] | None" = None
+        cls,
+        snap: str,
+        shard_subset: "list[int] | None" = None,
+        cache_budget_bytes: int = 1 << 30,
     ) -> "LocalSearcher":
         """Open a PUBLISHED snapshot directly from its parquet artifacts
         — NO SparkSession, pure pyarrow.  This is the production-replica
@@ -188,6 +199,7 @@ class LocalSearcher:
             m["avgdl"],
             m["shard_size"],
             analyzer=m.get("metrics", {}).get("analyzer"),
+            cache_budget_bytes=cache_budget_bytes,
         )
         # columnar backend: blobs stay in Arrow buffers until first use.
         # The key index is NUMERIC, not a Python dict — at 1M docs the
@@ -225,6 +237,27 @@ class LocalSearcher:
 
     # -- plumbing -----------------------------------------------------------
 
+    def _cache_add(self, key: tuple, nbytes: int) -> None:
+        """Account a cache entry; evict oldest entries (FIFO) until the
+        shared budget holds.  The newest entry is never evicted, so a
+        single oversized posting list still works — the budget bounds
+        steady state, not one entry.  Known approximation: the phrase
+        path's CSR position arrays attach to the decoded dict after
+        accounting (they die with the entry on eviction but their bytes
+        are not counted) — size the budget with ~2× headroom for
+        phrase-heavy workloads."""
+        self._cache_sizes[key] = nbytes
+        self._cache_bytes += nbytes
+        while self._cache_bytes > self.cache_budget_bytes:
+            old = next(iter(self._cache_sizes))  # oldest (insertion order)
+            if old == key:
+                break
+            self._cache_bytes -= self._cache_sizes.pop(old)
+            if old[0] == "d":
+                self._decoded.pop((old[1], old[2]), None)
+            else:
+                self._gcache.pop(old[1], None)
+
     def _plist(self, shard: int, term: str) -> dict | None:
         key = (shard, term)
         if key in self._decoded:
@@ -261,6 +294,11 @@ class LocalSearcher:
             "pos_blob": bytes(r["pos_blob"]),
         }
         self._decoded[key] = out
+        self._cache_add(
+            ("d", shard, term),
+            d.nbytes + t.nbytes + out["block_last"].nbytes
+            + out["block_max_tf"].nbytes + len(out["pos_blob"]),
+        )
         return out
 
     def _term_global(self, term: str, idf: float) -> tuple[np.ndarray, np.ndarray]:
@@ -287,6 +325,7 @@ class LocalSearcher:
             else:
                 e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
             self._gcache[term] = e
+            self._cache_add(("g", term), e[0].nbytes + e[1].nbytes)
         return e
 
     def _dl_global(self) -> np.ndarray:

@@ -176,3 +176,25 @@ def test_replica_fanout_merge_exact(spark, tmp_path):
         ]
         assert got == want, q
     assert merge_topk([[], []], 5) == []
+
+
+def test_serving_cache_budget_bounded(spark, tmp_path):
+    """The decoded/global posting caches are byte-accounted with FIFO
+    eviction: a tiny budget keeps steady-state memory bounded while
+    results stay identical (evicted entries rebuild transparently)."""
+    from limetrans_spark.plans import lifecycle as lc
+
+    idx = build_index(synth_corpus(spark, 150, partitions=4), shard_size=32)
+    snap = lc.save_index(idx, str(tmp_path / "idx"), "code", "g1")
+    tiny = LocalSearcher.from_snapshot(snap, cache_budget_bytes=2_000)
+    big = LocalSearcher.from_snapshot(snap)
+    queries = ["tokenize score", "parse | json", '"applicable law"',
+               "varint*", "tokenize", "license parse"]
+    for _ in range(2):  # pass 2 exercises rebuild-after-eviction
+        for q in queries:
+            assert tiny.search(q, k=10) == big.search(q, k=10), q
+        assert sum(tiny._cache_sizes.values()) == tiny._cache_bytes
+        assert (
+            tiny._cache_bytes <= 2_000 or len(tiny._cache_sizes) == 1
+        ), tiny._cache_bytes
+    assert big._cache_bytes > 2_000  # the budget actually bound something
