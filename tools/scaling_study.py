@@ -58,7 +58,9 @@ def measure(cpus: int, n_docs: int, corpus_dir: str, shard_size: int = 1 << 14) 
         t0 = time.time()
         idx = build_index(corpus, analyzer="code", shard_size=shard_size, id_mode="hash")
         # concurrent artifact writes off the shared inverted cache (same
-        # as save_index / bench.py)
+        # as bench.py; save_index additionally sorts shards by
+        # (shard, term) for serving-side pruning — excluded here so the
+        # measured region stays comparable across rounds)
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=3) as pool:
