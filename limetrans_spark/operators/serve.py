@@ -412,14 +412,6 @@ class LocalSearcher:
                     expansions[_clause_key(c)] = self._expand(c)
                 if c.negated or c.kind != "term":
                     has_structure = True
-        all_terms = sorted(
-            {
-                t
-                for g in pq.groups
-                for c in g
-                for t in expansions.get(_clause_key(c), c.terms)
-            }
-        )
         score_terms = sorted(
             {
                 t
@@ -489,72 +481,130 @@ class LocalSearcher:
                 for d2, w in lists:
                     score += w[np.searchsorted(d2, docs)]
             return _topk_vec(docs, score, k)
-        heap: list[tuple[float, int]] = []
-        for shard in sorted(self._shards):
-            dl = self._dl.get(shard)
-            if dl is None:
-                continue
-            base = shard * self.shard_size
-            plists = {
-                t: p for t in score_terms if (p := self._plist(shard, t)) is not None
-            }
-            if not plists:
-                continue
-            if flat and operator == "or" and sum(
-                p["docs"].size for p in plists.values()
-            ) > 50_000:
-                # WAND's skip logic pays off on long lists; short lists are
-                # faster fully vectorized (TAAT), and both are exact
-                d, s = _wand_topk(plists, idfs, dl, base, self.avgdl, k)
-            elif flat and operator == "or":
-                scores, nmatch = _taat_scores(plists, idfs, dl, base, self.avgdl)
-                cand = np.nonzero(nmatch > 0)[0]
-                d = cand + base
-                s = scores[cand]
-            else:
-                scores, nmatch = _taat_scores(plists, idfs, dl, base, self.avgdl)
-                if flat:
-                    cand = np.nonzero(nmatch == len(score_terms))[0]
+        if flat and operator == "or":
+            heap: list[tuple[float, int]] = []
+            for shard in sorted(self._shards):
+                dl = self._dl.get(shard)
+                if dl is None:
+                    continue
+                base = shard * self.shard_size
+                plists = {
+                    t: p
+                    for t in score_terms
+                    if (p := self._plist(shard, t)) is not None
+                }
+                if not plists:
+                    continue
+                if sum(p["docs"].size for p in plists.values()) > 50_000:
+                    # WAND's skip logic pays off on long lists; short
+                    # lists are faster fully vectorized (TAAT) — both exact
+                    d, s = _wand_topk(plists, idfs, dl, base, self.avgdl, k)
                 else:
-                    mask = np.ones(self.shard_size, dtype=bool)
-                    mask[dl == 0] = False
-                    all_lists = {
-                        t: p
-                        for t in all_terms
-                        if (p := self._plist(shard, t)) is not None
-                    }
-                    for g in pq.groups:
-                        pos = [c for c in g if not c.negated]
-                        if not pos:
-                            continue
-                        gmask = np.zeros(self.shard_size, dtype=bool)
-                        for c in pos:
-                            dd = _clause_docs_shard(all_lists, c, expansions, base)
-                            gmask[dd - base] = True
-                        mask &= gmask
-                    for g in pq.groups:
-                        for c in g:
-                            if c.negated:
-                                dd = _clause_docs_shard(all_lists, c, expansions, base)
-                                mask[dd - base] = False
-                    cand = np.nonzero(mask)[0]
-                d = cand + base
-                s = scores[cand]
-            if len(d) > k:
-                # per-shard vectorized top-k under the SAME ordering the
-                # global heap uses (score desc, doc_id asc) — a high-df
-                # AND can leave ~10% of the corpus as candidates, and
-                # pushing each through the Python heap dominated warm
-                # latency (1M-doc probe: 279 ms for a two-common-term AND)
-                order = np.lexsort((d, -np.asarray(s)))[:k]
-                d, s = np.asarray(d)[order], np.asarray(s)[order]
-            for doc, sc in zip(d, s):
-                item = (float(sc), -int(doc))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        return [(-nd, sc) for sc, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]
+                    scores, nmatch = _taat_scores(plists, idfs, dl, base, self.avgdl)
+                    cand = np.nonzero(nmatch > 0)[0]
+                    d = cand + base
+                    s = scores[cand]
+                if len(d) > k:
+                    # per-shard vectorized top-k under the SAME ordering
+                    # the global heap uses (score desc, doc_id asc)
+                    order = np.lexsort((d, -np.asarray(s)))[:k]
+                    d, s = np.asarray(d)[order], np.asarray(s)[order]
+                for doc, sc in zip(d, s):
+                    item = (float(sc), -int(doc))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+            return [
+                (-nd, sc)
+                for sc, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))
+            ]
+        # structured queries (negation / phrase / prefix / fuzzy / mixed
+        # groups): global sorted-array set algebra — per group the union
+        # of its positive clauses' cross-shard doc arrays, intersected
+        # across groups, minus negated clauses; scoring gathers the
+        # cached static per-term weights in sorted-term order (the same
+        # float64 summation order as the per-shard TAAT this replaces —
+        # the per-shard mask loop cost ~1 ms × n_shards per query at 1M
+        # docs).  Positional clauses keep the per-shard machinery for
+        # their doc sets only.
+        empty = np.empty(0, dtype=np.int64)
+
+        def clause_arr(c: Clause) -> np.ndarray:
+            terms = expansions.get(_clause_key(c), c.terms)
+            if c.kind in ("term", "prefix", "fuzzy"):
+                parts = [
+                    d
+                    for t in terms
+                    if (
+                        d := self._term_global(
+                            t, bm25_idf(self.n_docs, self.term_df.get(t, 0))
+                        )[0]
+                    ).size
+                ]
+                if not parts:
+                    return empty
+                if len(parts) == 1:
+                    return parts[0]
+                return np.unique(np.concatenate(parts))
+            out = []
+            for shard in sorted(self._shards):
+                pl = {
+                    t: p
+                    for t in terms
+                    if (p := self._plist(shard, t)) is not None
+                }
+                if len(pl) < len(set(terms)):
+                    continue  # phrase needs every term in the shard
+                dd = np.asarray(
+                    _clause_docs_shard(pl, c, expansions, shard * self.shard_size),
+                    dtype=np.int64,
+                )
+                if dd.size:
+                    out.append(dd)
+            return np.unique(np.concatenate(out)) if out else empty
+
+        cur: np.ndarray | None = None
+        negs: list[np.ndarray] = []
+        for g in pq.groups:
+            gdocs: np.ndarray | None = None
+            for c in g:
+                if c.negated:
+                    negs.append(clause_arr(c))
+                    continue
+                d = clause_arr(c)
+                gdocs = d if gdocs is None else np.union1d(gdocs, d)
+            if gdocs is not None:
+                if cur is None:
+                    cur = gdocs
+                else:
+                    j = np.searchsorted(gdocs, cur)
+                    ok = j < gdocs.size
+                    ok[ok] = gdocs[j[ok]] == cur[ok]
+                    cur = cur[ok]
+                if cur.size == 0:
+                    return []
+        if cur is None:  # guarded above: score_terms ⇒ a positive clause
+            return []
+        for n in negs:
+            if n.size and cur.size:
+                j = np.searchsorted(n, cur)
+                ok = j < n.size
+                ok[ok] = n[j[ok]] == cur[ok]
+                cur = cur[~ok]
+        if cur.size == 0:
+            return []
+        score = np.zeros(cur.size, dtype=np.float64)
+        for t in score_terms:  # sorted — the shared float order
+            docs, w = self._term_global(t, idfs[t])
+            if docs.size == 0:
+                continue
+            j = np.searchsorted(docs, cur)
+            ok = j < docs.size
+            ok[ok] = docs[j[ok]] == cur[ok]
+            if ok.any():
+                score[ok] += w[j[ok]]
+        return _topk_vec(cur, score, k)
 
 
 def _edit_le(a: str, b: str, k: int) -> bool:
