@@ -564,17 +564,43 @@ class LocalSearcher:
                     out.append(dd)
             return np.unique(np.concatenate(out)) if out else empty
 
-        cur: np.ndarray | None = None
+        groups_arrs: list[list[np.ndarray]] = []
         negs: list[np.ndarray] = []
         for g in pq.groups:
-            gdocs: np.ndarray | None = None
+            pos = []
             for c in g:
-                if c.negated:
-                    negs.append(clause_arr(c))
-                    continue
-                d = clause_arr(c)
-                gdocs = d if gdocs is None else np.union1d(gdocs, d)
-            if gdocs is not None:
+                (negs.append if c.negated else pos.append)(clause_arr(c))
+            if pos:
+                groups_arrs.append(pos)
+        if not groups_arrs:  # guarded above: score_terms ⇒ a positive clause
+            return []
+        nd = self._dl_global().size
+        total = sum(a.size for pos in groups_arrs for a in pos) + sum(
+            n.size for n in negs
+        )
+        if total > nd // 4:
+            # dense regime (every clause high-df): scatter per-group
+            # presence into a count vector — O(total postings + n_docs)
+            # instead of searchsorted chains over ~corpus-sized arrays
+            cnt = np.zeros(nd, dtype=np.int16)
+            for pos in groups_arrs:
+                if len(pos) == 1:
+                    cnt[pos[0]] += 1  # clause arrays are unique
+                else:
+                    gm = np.zeros(nd, dtype=bool)
+                    for a in pos:
+                        gm[a] = True
+                    cnt[gm] += 1
+            keep = cnt == np.int16(len(groups_arrs))
+            for n in negs:
+                keep[n] = False
+            cur = np.nonzero(keep)[0]
+        else:
+            cur: np.ndarray | None = None
+            for pos in groups_arrs:
+                gdocs = pos[0]
+                for d in pos[1:]:
+                    gdocs = np.union1d(gdocs, d)
                 if cur is None:
                     cur = gdocs
                 else:
@@ -584,26 +610,35 @@ class LocalSearcher:
                     cur = cur[ok]
                 if cur.size == 0:
                     return []
-        if cur is None:  # guarded above: score_terms ⇒ a positive clause
-            return []
-        for n in negs:
-            if n.size and cur.size:
-                j = np.searchsorted(n, cur)
-                ok = j < n.size
-                ok[ok] = n[j[ok]] == cur[ok]
-                cur = cur[~ok]
+            for n in negs:
+                if n.size and cur.size:
+                    j = np.searchsorted(n, cur)
+                    ok = j < n.size
+                    ok[ok] = n[j[ok]] == cur[ok]
+                    cur = cur[~ok]
         if cur.size == 0:
             return []
-        score = np.zeros(cur.size, dtype=np.float64)
-        for t in score_terms:  # sorted — the shared float order
-            docs, w = self._term_global(t, idfs[t])
-            if docs.size == 0:
-                continue
-            j = np.searchsorted(docs, cur)
-            ok = j < docs.size
-            ok[ok] = docs[j[ok]] == cur[ok]
-            if ok.any():
-                score[ok] += w[j[ok]]
+        if cur.size > nd // 16:
+            # dense scoring: one scatter-add per term over the doc
+            # space, gather at the candidates — same per-doc sorted-term
+            # float64 addition order as the sparse gather
+            sg = np.zeros(nd, dtype=np.float64)
+            for t in score_terms:
+                docs, w = self._term_global(t, idfs[t])
+                if docs.size:
+                    sg[docs] += w
+            score = sg[cur]
+        else:
+            score = np.zeros(cur.size, dtype=np.float64)
+            for t in score_terms:  # sorted — the shared float order
+                docs, w = self._term_global(t, idfs[t])
+                if docs.size == 0:
+                    continue
+                j = np.searchsorted(docs, cur)
+                ok = j < docs.size
+                ok[ok] = docs[j[ok]] == cur[ok]
+                if ok.any():
+                    score[ok] += w[j[ok]]
         return _topk_vec(cur, score, k)
 
 

@@ -124,10 +124,12 @@ def test_from_snapshot_sparkless_replica(spark, tmp_path):
 
 
 def test_flat_and_vectorized_matches_taat(searcher):
-    """The global vectorized AND path (dense scatter-add / sparse
-    intersection / single-term) must stay BIT-identical to the per-shard
-    TAAT path; appending a no-op negation forces the general masked
-    branch, which is the TAAT reference."""
+    """The flat AND fast path (dense scatter-add / sparse intersection /
+    single-term) must stay BIT-identical to the structured branch —
+    an independent implementation (group set algebra + weight gather);
+    appending a no-op negation forces that branch.  Primary correctness
+    oracle remains rank identity vs the Spark tiers
+    (test_serving_matches_spark_paths)."""
     for q in ["tokenize score", "tokenize", "parse json license",
               "varint tokenize"]:
         ref = searcher.search(q + " -zzzznonexistentterm", k=50)
