@@ -13,7 +13,8 @@ Checks (each an assertion, not just a timing):
   * exact dedup finds the planted ~5% duplicate rows;
   * serving tier: publish the snapshot, open it WITHOUT Spark (full +
     1/16-slice replica), rank-identical to the WAND tier, replica
-    scores equal the full searcher's (global statistics);
+    scores equal the full searcher's (global statistics), and two
+    complementary half-replicas merge_topk to EXACTLY the full top-k;
   * MinHash-LSH candidates ⊇ planted exact dups (recall on true dups);
   * near_dup_clusters on the LSH pair graph == driver union-find.
 
@@ -217,6 +218,33 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
         res["replica_consistent"] = bool(
             got and on_slice and overlap and scores_eq
         )
+
+        # replica fan-out: two complementary replicas (even/odd shards)
+        # merged with merge_topk must reproduce the full searcher's
+        # top-k EXACTLY (ids, scores, tie-breaks) — the sharded-serving
+        # deployment shape at 100 TB
+        from limetrans_spark.operators.serve import merge_topk
+
+        halves = [
+            LocalSearcher.from_snapshot(
+                snap,
+                shard_subset=[s for s in range(n_shards) if s % 2 == r],
+            )
+            for r in (0, 1)
+        ]
+        fan_ok = True
+        for name, q in [
+            ("common", "id1x1 id2x2"),
+            ("rare_or", "id19000x85 | id18500x70"),
+            ("mixed_not", "id1x1 -id17000x25"),
+        ]:
+            want = [(d, round(s, 9)) for d, s in srv.search(q, k=20)]
+            got = [
+                (d, round(s, 9))
+                for d, s in merge_topk([h.search(q, k=20) for h in halves], 20)
+            ]
+            fan_ok = fan_ok and got == want
+        res["fanout_merge_exact"] = bool(fan_ok)
     finally:
         shutil.rmtree(serve_root, ignore_errors=True)
 
@@ -242,6 +270,7 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
             and res["exact_dups_plausible"]
             and res["serve_rank_identical"]
             and res["replica_consistent"]
+            and res["fanout_merge_exact"]
         )
         print(json.dumps(res))
         return 0 if res["ok"] else 1
@@ -305,6 +334,7 @@ def main(n_docs: int = 100_000, index_only: bool = False) -> int:
         and res["exact_dups_plausible"]
         and res["serve_rank_identical"]
         and res["replica_consistent"]
+        and res["fanout_merge_exact"]
         and res["minhash_missed_true_dups"] == 0
         and res["clusters_match_union_find"]
     )
