@@ -175,6 +175,8 @@ def main():
         ("q_serve_and", "spark join", "and"),
         ("q_serve_or", "vector | stream", "or"),
         ("q_serve_phrase", '"hash join"', "and"),
+        ("q_serve_not", "spark -join", "and"),
+        ("q_serve_prefix", "vec*", "and"),
     ]:
         t0 = time.time()
         for _ in range(20):
