@@ -25,11 +25,12 @@ from .operators.query import (
     matching_docs_df,
     parse_query,
 )
-from .operators.serve import LocalSearcher, merge_topk
+from .operators.serve import LocalSearcher, SegmentedSearcher, merge_topk
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
     load_index,
+    publish_delta_segment,
     retain_snapshots,
     save_index,
     switch_alias,
@@ -42,7 +43,9 @@ __all__ = [
     "FieldedIndex",
     "LocalFieldedSearcher",
     "LocalSearcher",
+    "SegmentedSearcher",
     "merge_topk",
+    "publish_delta_segment",
     "apply_deletes",
     "assign_doc_ids",
     "bm25_topk_df",

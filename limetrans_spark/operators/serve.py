@@ -39,6 +39,15 @@ from .query import (
 MAX_EXPANSIONS = 128
 
 
+def _in_sorted(hay: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``needles``: which are present in the
+    sorted-unique array ``hay``."""
+    j = np.searchsorted(hay, needles)
+    ok = j < hay.size
+    ok[ok] = hay[j[ok]] == needles[ok]
+    return ok
+
+
 def _topk_vec(docs: np.ndarray, score: np.ndarray, k: int) -> list[tuple[int, float]]:
     """Exact top-k under (score desc, doc_id asc) without sorting the
     full candidate set: argpartition finds the k-th score threshold in
@@ -85,7 +94,15 @@ class LocalSearcher:
         shard_size: int,
         analyzer: str | None = None,
         cache_budget_bytes: int = 1 << 30,
+        exclude_docs: "np.ndarray | None" = None,
     ):
+        # tombstones (segmented serving): these doc ids never appear in
+        # results — a delta segment supersedes them
+        self._exclude = (
+            np.unique(np.asarray(exclude_docs, dtype=np.int64))
+            if exclude_docs is not None and len(exclude_docs)
+            else None
+        )
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.shard_size = shard_size
@@ -143,12 +160,35 @@ class LocalSearcher:
             analyzer=idx.metrics.get("analyzer"),
         )
 
+    def override_stats(
+        self, term_df: dict[str, int], n_docs: int, avgdl: float
+    ) -> None:
+        """Replace the GLOBAL statistics (term df, N, avgdl) this
+        searcher scores with — segmented serving opens a base snapshot
+        and a delta segment and both must score with the MERGED corpus
+        statistics so their top-ks fold exactly.  Must be called before
+        the first query: cached weight arrays bake idf/avgdl in."""
+        if self._gcache or self._decoded:
+            raise RuntimeError("override_stats must precede the first query")
+        self.term_df = term_df
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self._vocab = sorted(term_df)
+        self._vocab_by_len = None
+
+    def _drop_excluded(self, docs: np.ndarray, *arrs: np.ndarray):
+        if self._exclude is None or docs.size == 0:
+            return (docs, *arrs)
+        keep = ~_in_sorted(self._exclude, docs)
+        return (docs[keep], *(a[keep] for a in arrs))
+
     @classmethod
     def from_snapshot(
         cls,
         snap: str,
         shard_subset: "list[int] | None" = None,
         cache_budget_bytes: int = 1 << 30,
+        exclude_docs: "np.ndarray | None" = None,
     ) -> "LocalSearcher":
         """Open a PUBLISHED snapshot directly from its parquet artifacts
         — NO SparkSession, pure pyarrow.  This is the production-replica
@@ -200,6 +240,7 @@ class LocalSearcher:
             m["shard_size"],
             analyzer=m.get("metrics", {}).get("analyzer"),
             cache_budget_bytes=cache_budget_bytes,
+            exclude_docs=exclude_docs,
         )
         # columnar backend: blobs stay in Arrow buffers until first use.
         # The key index is NUMERIC, not a Python dict — at 1M docs the
@@ -452,8 +493,8 @@ class LocalSearcher:
                 return []
             dlg = self._dl_global()
             if len(lists) == 1:
-                docs, w = lists[0]
-                return _topk_vec(docs, w, k)
+                docs, w = self._drop_excluded(*lists[0])
+                return _topk_vec(docs, w, k) if docs.size else []
             min_df = min(d.size for d, _ in lists)
             if min_df > dlg.size // 16:
                 scores = np.zeros(dlg.size, dtype=np.float64)
@@ -462,6 +503,7 @@ class LocalSearcher:
                     scores[d2] += w
                     nmatch[d2] += 1
                 docs = np.nonzero(nmatch == np.int16(len(score_terms)))[0]
+                (docs,) = self._drop_excluded(docs)
                 if docs.size == 0:
                     return []
                 score = scores[docs]
@@ -477,11 +519,14 @@ class LocalSearcher:
                     docs = docs[ok]
                     if docs.size == 0:
                         return []
+                (docs,) = self._drop_excluded(docs)
+                if docs.size == 0:
+                    return []
                 score = np.zeros(docs.size, dtype=np.float64)
                 for d2, w in lists:
                     score += w[np.searchsorted(d2, docs)]
             return _topk_vec(docs, score, k)
-        if flat and operator == "or":
+        if flat and operator == "or" and self._exclude is None:
             heap: list[tuple[float, int]] = []
             for shard in sorted(self._shards):
                 dl = self._dl.get(shard)
@@ -594,6 +639,8 @@ class LocalSearcher:
             keep = cnt == np.int16(len(groups_arrs))
             for n in negs:
                 keep[n] = False
+            if self._exclude is not None:
+                keep[self._exclude[self._exclude < nd]] = False
             cur = np.nonzero(keep)[0]
         else:
             cur: np.ndarray | None = None
@@ -616,6 +663,7 @@ class LocalSearcher:
                     ok = j < n.size
                     ok[ok] = n[j[ok]] == cur[ok]
                     cur = cur[~ok]
+            (cur,) = self._drop_excluded(cur)
         if cur.size == 0:
             return []
         if cur.size > nd // 16:
@@ -640,6 +688,81 @@ class LocalSearcher:
                 if ok.any():
                     score[ok] += w[j[ok]]
         return _topk_vec(cur, score, k)
+
+
+class SegmentedSearcher:
+    """Serve a base snapshot plus a delta segment (Lucene-segment
+    style): the base searcher tombstones the superseded doc ids, the
+    delta searcher holds the updated/new documents, BOTH score with the
+    exactly-merged global statistics (``lifecycle.publish_delta_segment``
+    writes them into the delta snapshot), and per-query top-ks fold
+    with :func:`merge_topk` — results bit-identical to a full rebuild
+    over the final corpus state (pytest
+    ``test_segmented_serving_equals_rebuild``).  This is the update
+    path whose serving cost is independent of update frequency: absorb
+    updates as segments, fold with ``compact_deltas``/a rebuild on a
+    slow cadence — exactly the Elasticsearch update/rebuild split
+    (``ElasticsearchIndexer.java:88-164``)."""
+
+    def __init__(self, base: LocalSearcher, delta: LocalSearcher):
+        self.base = base
+        self.delta = delta
+        self.analyzer = delta.analyzer
+
+    @classmethod
+    def from_snapshots(
+        cls,
+        base_snap: str,
+        delta_snap: str,
+        cache_budget_bytes: int = 1 << 30,
+    ) -> "SegmentedSearcher":
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        with open(_os.path.join(delta_snap, "manifest.json")) as f:
+            m = _json.load(f)["metrics"]
+        mt = _pq.read_table(
+            _os.path.join(delta_snap, "merged_terms"), columns=["term", "df"]
+        )
+        term_df = dict(
+            zip(mt.column("term").to_pylist(), mt.column("df").to_pylist())
+        )
+        tomb = _pq.read_table(
+            _os.path.join(delta_snap, "tombstones")
+        ).column("doc_id").to_numpy()
+        base = LocalSearcher.from_snapshot(
+            base_snap,
+            cache_budget_bytes=cache_budget_bytes // 2,
+            exclude_docs=tomb,
+        )
+        delta = LocalSearcher.from_snapshot(
+            delta_snap, cache_budget_bytes=cache_budget_bytes // 2
+        )
+        for s in (base, delta):
+            s.override_stats(
+                term_df, int(m["merged_n_docs"]), float(m["merged_avgdl"])
+            )
+        return cls(base, delta)
+
+    def search(
+        self,
+        query: "str | ParsedQuery",
+        k: int = 10,
+        operator: str | None = None,
+        unordered_slop: bool = False,
+    ) -> list[tuple[int, float]]:
+        k = min(k, MAX_HITS)
+        return merge_topk(
+            [
+                s.search(
+                    query, k=k, operator=operator, unordered_slop=unordered_slop
+                )
+                for s in (self.base, self.delta)
+            ],
+            k,
+        )
 
 
 def _edit_le(a: str, b: str, k: int) -> bool:

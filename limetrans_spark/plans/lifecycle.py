@@ -478,6 +478,135 @@ def save_fielded(
     return paths
 
 
+def publish_delta_segment(
+    spark: SparkSession,
+    prev_snap: str,
+    delta_docs: DataFrame,
+    root: str,
+    name: str,
+    generation: str,
+    text_col: str = "content",
+    retain: int = DEFAULT_RETAIN,
+) -> str:
+    """Publish a Lucene-segment-style DELTA snapshot: a small full
+    index (positions included) over ONLY the updated/new documents,
+    plus the exactly-merged global statistics and the tombstone list,
+    so :class:`operators.serve.SegmentedSearcher` can answer over
+    (base snapshot minus tombstones) + delta with scores bit-identical
+    to a full rebuild over the final corpus state — the update path
+    whose cost scales with the UPDATE size (build of the delta docs +
+    one column-pruned scan of the base postings/docstore for the
+    removed contributions), never with the corpus.  This is how
+    Lucene/Elasticsearch actually absorb updates (segments + deletes)
+    — ``ElasticsearchIndexer.java:88-164`` update semantics — where
+    :func:`streaming.ingest.compact_deltas` is the periodic full fold.
+
+    ``delta_docs`` must carry ``doc_id`` (stable global ids; an id
+    already in the base snapshot REPLACES that document, a new id
+    appends).  The merged dictionary's ``max_tf`` is
+    ``greatest(base, delta)`` — an upper bound (exact recomputation
+    would need the full corpus), sound for WAND pruning and unused by
+    the serving scorers; df/cf/N/avgdl are EXACT (int64 arithmetic,
+    one float division — the same expression ``corpus_stats`` uses,
+    so the merged avgdl is bit-equal to a rebuild's)."""
+    from ..operators.build import build_index
+
+    with open(os.path.join(prev_snap, "manifest.json")) as f:
+        pm = json.load(f)
+    shard_size = int(pm["shard_size"])
+    analyzer = (pm.get("metrics") or {}).get("analyzer") or "code"
+    if "doc_id" not in delta_docs.columns:
+        raise ValueError("delta_docs must carry stable global doc_id")
+
+    delta_idx = build_index(
+        delta_docs, text_col=text_col, analyzer=analyzer, shard_size=shard_size
+    )
+    upd = delta_idx.doclens.select("doc_id")
+
+    # removed contributions: the base postings/doclens of the docs this
+    # delta supersedes (column-pruned scans of the published parquet)
+    prev_post = spark.read.parquet(os.path.join(prev_snap, "postings"))
+    removed = (
+        prev_post.select("term", "doc_id", "tf")
+        .join(F.broadcast(upd), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df_rm"),
+            F.sum("tf").cast("long").alias("cf_rm"),
+        )
+    )
+    prev_terms = spark.read.parquet(os.path.join(prev_snap, "terms"))
+    dterms = delta_idx.terms.select(
+        "term",
+        F.col("df").alias("df_d"),
+        F.col("cf").alias("cf_d"),
+        F.col("max_tf").alias("max_tf_d"),
+    )
+    zero = F.lit(0).cast("long")
+    merged = (
+        prev_terms.select("term", "df", "cf", "max_tf")
+        .join(removed, "term", "left")
+        .join(dterms, "term", "full")
+        .select(
+            "term",
+            (
+                F.coalesce("df", zero)
+                - F.coalesce("df_rm", zero)
+                + F.coalesce("df_d", zero)
+            ).cast("long").alias("df"),
+            (
+                F.coalesce("cf", zero)
+                - F.coalesce("cf_rm", zero)
+                + F.coalesce("cf_d", zero)
+            ).cast("long").alias("cf"),
+            F.greatest(
+                F.coalesce("max_tf", F.lit(0)), F.coalesce("max_tf_d", F.lit(0))
+            ).cast("int").alias("max_tf"),
+        )
+        .where(F.col("df") > 0)
+        .withColumn("tlen", F.length("term").cast("int"))
+    )
+
+    prev_doc = spark.read.parquet(os.path.join(prev_snap, "docstore")).select(
+        "doc_id", "dl"
+    )
+    prev_row = prev_doc.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).collect()[0]
+    rm_row = (
+        prev_doc.join(F.broadcast(upd), "doc_id", "left_semi")
+        .agg(F.count("*").alias("n"), F.sum("dl").cast("long").alias("s"))
+        .collect()[0]
+    )
+    d_row = delta_idx.doclens.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).collect()[0]
+    n2 = int(prev_row["n"]) - int(rm_row["n"]) + int(d_row["n"])
+    sum2 = (
+        int(prev_row["s"] or 0) - int(rm_row["s"] or 0) + int(d_row["s"] or 0)
+    )
+    avgdl2 = sum2 / n2 if n2 else 0.0  # same expression as corpus_stats
+
+    snap = save_index(
+        delta_idx,
+        root,
+        name,
+        generation,
+        retain=retain,
+        extra_metrics={
+            "segment_of": prev_snap,
+            "merged_n_docs": n2,
+            "merged_avgdl": avgdl2,
+            "merged_sum_dl": sum2,
+        },
+    )
+    merged.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "merged_terms"))
+    upd.write.mode("overwrite").parquet(os.path.join(snap, "tombstones"))
+    return snap
+
+
 def load_fielded(spark: SparkSession, root: str) -> dict:
     """Open every field's current snapshot → {field: BuiltIndex}."""
     with open(os.path.join(root, "fielded_manifest.json")) as f:

@@ -200,3 +200,55 @@ def test_serving_cache_budget_bounded(spark, tmp_path):
             tiny._cache_bytes <= 2_000 or len(tiny._cache_sizes) == 1
         ), tiny._cache_bytes
     assert big._cache_bytes > 2_000  # the budget actually bound something
+
+
+def test_segmented_serving_equals_rebuild(spark, tmp_path):
+    """Base snapshot + delta segment (tombstoned updates, merged global
+    stats) must answer BIT-identically to a full rebuild over the final
+    corpus state — Lucene-segment update semantics with exact BM25."""
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.serve import SegmentedSearcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    from pyspark.sql import Window
+
+    corpus = synth_corpus(spark, 192, partitions=4).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    base_corpus = corpus.where(F.col("doc_id") < 180).persist()
+    idx1 = build_index(base_corpus, shard_size=32)
+    base_snap = lc.save_index(idx1, str(tmp_path / "base"), "code", "g1")
+
+    # delta: 20 docs replaced wholesale + 12 appended
+    updated = base_corpus.where(F.col("doc_id") % 9 == 4).withColumn(
+        "content",
+        F.concat(
+            F.lit("segment fresh tokenize "),
+            (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+    new = corpus.where(F.col("doc_id") >= 180)
+    delta_docs = updated.unionByName(new).persist()
+    delta_snap = lc.publish_delta_segment(
+        spark, base_snap, delta_docs, str(tmp_path / "delta"), "code", "d1"
+    )
+    seg = SegmentedSearcher.from_snapshots(base_snap, delta_snap)
+
+    final = base_corpus.where(F.col("doc_id") % 9 != 4).unionByName(delta_docs)
+    full = LocalSearcher.from_index(build_index(final, shard_size=32))
+
+    for q in ["tokenize score", "parse | json", '"applicable law"',
+              "varint* -license", "segment fresh", "tokeniz~1",
+              "segment -fresh"]:
+        a = [(d, round(s, 9)) for d, s in full.search(q, k=15)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=15)]
+        assert a == b, (q, a[:3], b[:3])
+    # a replaced doc's OLD content must be unfindable through the base
+    assert all(
+        d in {r["doc_id"] for r in delta_docs.select("doc_id").collect()}
+        or d % 9 != 4
+        for d, _ in seg.search("tokenize", k=200)
+    )
