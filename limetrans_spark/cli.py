@@ -119,6 +119,12 @@ def _add_serve(sub):
         help='Lucene-style out-of-order NEAR: "a b"~2 also matches b a '
         "(default: order-preserving slop)",
     )
+    p.add_argument(
+        "--segment-base", default=None,
+        help="serve a delta segment: --root points at the DELTA index "
+        "root, this flag at the BASE index root (publish_delta_segment "
+        "layout; results are bit-identical to a full rebuild)",
+    )
 
 
 def _add_filter(sub):
@@ -171,6 +177,21 @@ def main(argv: list[str] | None = None) -> int:
             hits = repl.search(
                 args.query, k=args.k, default_field=args.default_field,
                 unordered_slop=args.unordered_slop,
+            )
+        elif args.segment_base:
+            from .operators.serve import SegmentedSearcher
+
+            def _resolve(root):
+                snap = lc.current_snapshot(root)
+                if snap is None:
+                    raise FileNotFoundError(f"no current snapshot under {root}")
+                return os.path.join(root, "snapshots", snap)
+
+            seg = SegmentedSearcher.from_snapshots(
+                _resolve(args.segment_base), _resolve(args.root)
+            )
+            hits = seg.search(
+                args.query, k=args.k, unordered_slop=args.unordered_slop
             )
         else:
             snap_name = args.snapshot or lc.current_snapshot(args.root)

@@ -204,3 +204,37 @@ def test_cli_serve_sparkless(corpus_path, tmp_path_factory):
     dord = {json.loads(l)["doc_id"] for l in ordered.stdout.strip().splitlines() if l.startswith("{")}
     duno = {json.loads(l)["doc_id"] for l in unordered.stdout.strip().splitlines() if l.startswith("{")}
     assert dord <= duno and dord
+
+
+def test_cli_serve_segment(spark, tmp_path):
+    """`serve --segment-base`: Spark-free serving over base + delta
+    segment; updated docs answer from the delta, base tombstones hold."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 90, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    base_root, delta_root = str(tmp_path / "base"), str(tmp_path / "delta")
+    base_snap = lc.save_index(
+        build_index(corpus, shard_size=32), base_root, "code", "g1"
+    )
+    upd = corpus.where(F.col("doc_id") % 10 == 1).withColumn(
+        "content", F.lit("segmentcliterm fresh")
+    )
+    lc.publish_delta_segment(spark, base_snap, upd, delta_root, "code", "d1")
+
+    out = run_cli(
+        "serve", "--root", delta_root, "--segment-base", base_root,
+        "--query", "segmentcliterm", "-k", "20",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert {r["doc_id"] for r in rows} == {d for d in range(90) if d % 10 == 1}
+    assert "SparkContext" not in out.stderr
