@@ -487,6 +487,7 @@ def publish_delta_segment(
     generation: str,
     text_col: str = "content",
     retain: int = DEFAULT_RETAIN,
+    deleted_ids: DataFrame | None = None,
 ) -> str:
     """Publish a Lucene-segment-style DELTA snapshot: a small full
     index (positions included) over ONLY the updated/new documents,
@@ -521,7 +522,14 @@ def publish_delta_segment(
     delta_idx = build_index(
         delta_docs, text_col=text_col, analyzer=analyzer, shard_size=shard_size
     )
+    # tombstones = superseded docs plus outright deletions (a deleted id
+    # contributes a tombstone and a stats removal, but no delta doc —
+    # the deletionLiteral flow's segment-level analogue)
     upd = delta_idx.doclens.select("doc_id")
+    if deleted_ids is not None:
+        upd = upd.unionByName(
+            deleted_ids.select(F.col("doc_id").cast("long"))
+        ).distinct()
 
     # removed contributions: the base postings/doclens of the docs this
     # delta supersedes (column-pruned scans of the published parquet)

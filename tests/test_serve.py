@@ -232,12 +232,17 @@ def test_segmented_serving_equals_rebuild(spark, tmp_path):
     )
     new = corpus.where(F.col("doc_id") >= 180)
     delta_docs = updated.unionByName(new).persist()
+    # outright deletions, disjoint from the updates
+    gone = (F.col("doc_id") % 25 == 3) & (F.col("doc_id") % 9 != 4)
     delta_snap = lc.publish_delta_segment(
-        spark, base_snap, delta_docs, str(tmp_path / "delta"), "code", "d1"
+        spark, base_snap, delta_docs, str(tmp_path / "delta"), "code", "d1",
+        deleted_ids=base_corpus.where(gone).select("doc_id"),
     )
     seg = SegmentedSearcher.from_snapshots(base_snap, delta_snap)
 
-    final = base_corpus.where(F.col("doc_id") % 9 != 4).unionByName(delta_docs)
+    final = base_corpus.where(
+        (F.col("doc_id") % 9 != 4) & ~gone
+    ).unionByName(delta_docs)
     full = LocalSearcher.from_index(build_index(final, shard_size=32))
 
     for q in ["tokenize score", "parse | json", '"applicable law"',
