@@ -192,15 +192,23 @@ def test_path_set_then_get_roundtrip(rec, segs, value):
 @settings(max_examples=500, deadline=None)
 @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß", min_size=0, max_size=24))
 def test_german2_stem_invariants(word):
-    """German2 over its full input alphabet: output is plain ascii
-    lowercase (the postlude strips every umlaut the prelude introduces
-    and unmarks U/Y), never longer than the ß-expanded input, and the
-    stem of a stem never crashes.  The fold property: appending 'e'
-    after a consonant-preceded 'u' must stem like the umlaut form."""
+    """German2 over its full input alphabet: output is ascii lowercase
+    (the postlude strips every umlaut the prelude introduces and
+    unmarks U/Y) — EXCEPT that 'ß' may survive when it falls in the
+    shadow of a 'qu' near the string end: in the published source the
+    ß→ss rule shares the prelude ``among`` with ``'qu' (hop 2)``, and
+    when fewer than two characters follow the qu the among fails and
+    ``repeat`` terminates with the tail unreplaced ('quß' stays 'quß';
+    hypothesis found this corner, and the implementation matches the
+    spec rather than the looser invariant this test first claimed).
+    Output is never longer than the ß-expanded input, and the stem of
+    a stem never crashes."""
     from limetrans_spark.functions.stem_de import german2_stem
 
     out = german2_stem(word)
-    assert all("a" <= c <= "z" for c in out), (word, out)
+    assert all("a" <= c <= "z" or c == "ß" for c in out), (word, out)
+    if "ß" in out:
+        assert "qu" in word.lower(), (word, out)  # only the hop shadow
     assert len(out) <= len(word) + word.count("ß")
     german2_stem(out)  # total on its own output
 
