@@ -25,12 +25,14 @@ from .operators.query import (
     matching_docs_df,
     parse_query,
 )
+from .operators.fielded import SegmentedFielded
 from .operators.serve import LocalSearcher, SegmentedSearcher, merge_topk
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
     load_index,
     publish_delta_segment,
+    publish_fielded_delta_segment,
     retain_snapshots,
     save_index,
     switch_alias,
@@ -43,9 +45,11 @@ __all__ = [
     "FieldedIndex",
     "LocalFieldedSearcher",
     "LocalSearcher",
+    "SegmentedFielded",
     "SegmentedSearcher",
     "merge_topk",
     "publish_delta_segment",
+    "publish_fielded_delta_segment",
     "apply_deletes",
     "assign_doc_ids",
     "bm25_topk_df",

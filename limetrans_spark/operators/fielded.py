@@ -1085,21 +1085,38 @@ class LocalFieldedSharded:
     leniency, sorted-(field, term) float accumulation, doc_id tie-break
     — so results are rank-identical to the DataFrame tier (tested)."""
 
-    def __init__(self, searchers: dict, default_field: str = "all"):
+    def __init__(
+        self,
+        searchers: dict,
+        default_field: str = "all",
+        exclude_docs: "np.ndarray | None" = None,
+    ):
         self.searchers = dict(searchers)
         self.default_field = default_field
         self.analyzers = {
             f: (s.analyzer or "simple") for f, s in self.searchers.items()
         }
+        # doc-level tombstones (fielded segmented serving)
+        self._exclude = (
+            np.unique(np.asarray(exclude_docs, dtype=np.int64))
+            if exclude_docs is not None and len(exclude_docs)
+            else None
+        )
 
     @classmethod
     def from_snapshot(
-        cls, root: str, cache_budget_bytes: int = 1 << 30
+        cls,
+        root: str,
+        cache_budget_bytes: int = 1 << 30,
+        exclude_docs: "np.ndarray | None" = None,
+        stats_override: "dict | None" = None,
     ) -> "LocalFieldedSharded":
         """Open every field's current snapshot under a ``save_fielded``
         root — pure pyarrow, no Spark.  ``cache_budget_bytes`` bounds
         the replica's TOTAL decoded-posting cache (split evenly across
-        the per-field searchers)."""
+        the per-field searchers).  ``stats_override`` maps field →
+        ``(term_df, n_docs, avgdl)`` (segmented serving: every tier of
+        the pair must score with the merged per-field statistics)."""
         import json as _json
         import os as _os
 
@@ -1127,7 +1144,11 @@ class LocalFieldedSharded:
         # time then scales with the slowest field, not the field count
         with ThreadPoolExecutor(max_workers=min(8, len(m["fields"]) or 1)) as ex:
             searchers = dict(ex.map(open_field, m["fields"]))
-        return cls(searchers)
+        if stats_override:
+            for fname, (tdf, n, avg) in stats_override.items():
+                if fname in searchers:
+                    searchers[fname].override_stats(tdf, n, avg)
+        return cls(searchers, exclude_docs=exclude_docs)
 
     # -- per-clause doc arrays over one field's searcher --------------------
     # sorted-unique int64 arrays end to end: building Python sets of doc
@@ -1245,6 +1266,8 @@ class LocalFieldedSharded:
         for n in negs:
             if n.size and cur.size:
                 cur = cur[~self._in_sorted(n, cur)]
+        if self._exclude is not None and cur.size:
+            cur = cur[~self._in_sorted(self._exclude, cur)]
         if not score_pairs:
             return [(int(d), 0.0) for d in cur[:k]]
 
@@ -1274,3 +1297,91 @@ class LocalFieldedSharded:
 
         sel = np.nonzero(touched)[0]
         return _topk_vec(cand[sel], scores[sel], k)
+
+
+class SegmentedFielded:
+    """Fielded twin of :class:`serve.SegmentedSearcher`: a base
+    ``save_fielded`` tree (doc-level tombstones) plus a per-field delta
+    segment tree (``lifecycle.publish_fielded_delta_segment``), every
+    per-field searcher on BOTH sides scoring with the exactly-merged
+    per-field statistics — results bit-identical to a fielded rebuild
+    over the final corpus state (pytest
+    ``test_segmented_fielded_equals_rebuild``)."""
+
+    def __init__(self, base: LocalFieldedSharded, delta: LocalFieldedSharded):
+        self.base = base
+        self.delta = delta
+
+    @classmethod
+    def from_snapshots(
+        cls,
+        base_root: str,
+        delta_root: str,
+        cache_budget_bytes: int = 1 << 30,
+    ) -> "SegmentedFielded":
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from ..plans.lifecycle import current_snapshot
+
+        with open(_os.path.join(delta_root, "fielded_manifest.json")) as f:
+            dm = _json.load(f)
+        overrides: dict = {}
+        tomb = None
+        for fname in dm["fields"]:
+            froot = _os.path.join(delta_root, "fields", fname)
+            snap = current_snapshot(froot)
+            if snap is None:
+                raise FileNotFoundError(f"delta field {fname!r} has no snapshot")
+            sdir = _os.path.join(froot, "snapshots", snap)
+            with open(_os.path.join(sdir, "manifest.json")) as f:
+                mm = _json.load(f)["metrics"]
+            mt = _pq.read_table(
+                _os.path.join(sdir, "merged_terms"), columns=["term", "df"]
+            )
+            overrides[fname] = (
+                dict(
+                    zip(mt.column("term").to_pylist(), mt.column("df").to_pylist())
+                ),
+                int(mm["merged_n_docs"]),
+                float(mm["merged_avgdl"]),
+            )
+            if tomb is None:  # the tombstone list is doc-level, shared
+                tomb = _pq.read_table(
+                    _os.path.join(sdir, "tombstones")
+                ).column("doc_id").to_numpy()
+        base = LocalFieldedSharded.from_snapshot(
+            base_root,
+            cache_budget_bytes // 2,
+            exclude_docs=tomb,
+            stats_override=overrides,
+        )
+        delta = LocalFieldedSharded.from_snapshot(
+            delta_root, cache_budget_bytes // 2, stats_override=overrides
+        )
+        return cls(base, delta)
+
+    def search(
+        self,
+        query: "str | ParsedQuery",
+        k: int = 10,
+        default_field: str | None = None,
+        unordered_slop: bool = False,
+    ) -> list[tuple[int, float]]:
+        from .serve import merge_topk
+
+        k = min(k, MAX_HITS)
+        return merge_topk(
+            [
+                s.search(
+                    query,
+                    k=k,
+                    default_field=default_field,
+                    unordered_slop=unordered_slop,
+                )
+                for s in (self.base, self.delta)
+            ],
+            k,
+        )

@@ -524,15 +524,35 @@ def publish_delta_segment(
     )
     # tombstones = superseded docs plus outright deletions (a deleted id
     # contributes a tombstone and a stats removal, but no delta doc —
-    # the deletionLiteral flow's segment-level analogue)
-    upd = delta_idx.doclens.select("doc_id")
+    # the deletionLiteral flow's segment-level analogue).  Taken from
+    # delta_docs' ids, NOT from the delta doclens: an update whose new
+    # text tokenizes to nothing must still ERASE its old document.
+    upd = delta_docs.select(F.col("doc_id").cast("long")).distinct()
     if deleted_ids is not None:
         upd = upd.unionByName(
             deleted_ids.select(F.col("doc_id").cast("long"))
         ).distinct()
 
-    # removed contributions: the base postings/doclens of the docs this
-    # delta supersedes (column-pruned scans of the published parquet)
+    return _publish_segment_of(
+        spark, prev_snap, delta_idx, upd, root, name, generation, retain
+    )
+
+
+def _publish_segment_of(
+    spark: SparkSession,
+    prev_snap: str,
+    delta_idx: BuiltIndex,
+    upd: DataFrame,
+    root: str,
+    name: str,
+    generation: str,
+    retain: int,
+) -> str:
+    """Merge statistics + publish one delta segment (shared by the flat
+    and fielded segment publishers).  df/cf/N/avgdl are exact via int64
+    removal arithmetic; the dl aggregates count only rows with dl > 0
+    so per-field segments (where many corpus docs have no tokens in a
+    given field) match ``corpus_stats``' doclens-based N exactly."""
     prev_post = spark.read.parquet(os.path.join(prev_snap, "postings"))
     removed = (
         prev_post.select("term", "doc_id", "tf")
@@ -575,8 +595,10 @@ def publish_delta_segment(
         .withColumn("tlen", F.length("term").cast("int"))
     )
 
-    prev_doc = spark.read.parquet(os.path.join(prev_snap, "docstore")).select(
-        "doc_id", "dl"
+    prev_doc = (
+        spark.read.parquet(os.path.join(prev_snap, "docstore"))
+        .select("doc_id", "dl")
+        .where(F.col("dl") > 0)  # mirror corpus_stats' doclens basis
     )
     prev_row = prev_doc.agg(
         F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
@@ -613,6 +635,83 @@ def publish_delta_segment(
     ).parquet(os.path.join(snap, "merged_terms"))
     upd.write.mode("overwrite").parquet(os.path.join(snap, "tombstones"))
     return snap
+
+
+def publish_fielded_delta_segment(
+    spark: SparkSession,
+    prev_root: str,
+    delta_docs: DataFrame,
+    root: str,
+    name: str,
+    generation: str,
+    fields: dict,
+    copy_to: dict | None = None,
+    target_analyzers: dict | None = None,
+    retain: int = DEFAULT_RETAIN,
+    deleted_ids: DataFrame | None = None,
+) -> dict:
+    """Fielded twin of :func:`publish_delta_segment`: one delta segment
+    per field (same ``fields``/``copy_to``/``target_analyzers`` config
+    the BASE ``save_fielded`` tree was built with — the config is the
+    caller's contract, exactly as for a rebuild), each with its own
+    exactly-merged per-field statistics and the SHARED doc-level
+    tombstone list.  ``operators.fielded.SegmentedFielded`` serves the
+    pair bit-identically to a fielded rebuild."""
+    from ..operators.fielded import build_fielded_sharded
+
+    if "doc_id" not in delta_docs.columns:
+        raise ValueError("delta_docs must carry stable global doc_id")
+    with open(os.path.join(prev_root, "fielded_manifest.json")) as f:
+        base_fields = sorted(json.load(f)["fields"])
+    f0_root = os.path.join(prev_root, "fields", base_fields[0])
+    f0_snap = current_snapshot(f0_root)
+    if f0_snap is None:
+        raise FileNotFoundError(f"base field {base_fields[0]!r} has no snapshot")
+    with open(
+        os.path.join(f0_root, "snapshots", f0_snap, "manifest.json")
+    ) as f:
+        shard_size = int(json.load(f)["shard_size"])
+    delta_idxs = build_fielded_sharded(
+        delta_docs,
+        fields,
+        copy_to=copy_to,
+        target_analyzers=target_analyzers,
+        shard_size=shard_size,
+    )
+    upd = delta_docs.select(F.col("doc_id").cast("long")).distinct()
+    if deleted_ids is not None:
+        upd = upd.unionByName(
+            deleted_ids.select(F.col("doc_id").cast("long"))
+        ).distinct()
+    paths = {}
+    for fname, idx in sorted(delta_idxs.items()):
+        froot = os.path.join(prev_root, "fields", fname)
+        snap = current_snapshot(froot)
+        if snap is None:
+            raise FileNotFoundError(f"base field {fname!r} has no snapshot")
+        paths[fname] = _publish_segment_of(
+            spark,
+            os.path.join(froot, "snapshots", snap),
+            idx,
+            upd,
+            os.path.join(root, "fields", fname),
+            name,
+            generation,
+            retain,
+        )
+    tmp = os.path.join(root, "fielded_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "name": name,
+                "generation": generation,
+                "fields": sorted(delta_idxs),
+                "segment_of": prev_root,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(root, "fielded_manifest.json"))
+    return paths
 
 
 def load_fielded(spark: SparkSession, root: str) -> dict:

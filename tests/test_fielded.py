@@ -620,3 +620,66 @@ def test_local_fielded_sharded_from_snapshot(spark, tmp_path):
         assert [d for d, _ in a] == [d for d, _ in b] == [d for d, _ in c], q
         for (_, sa), (_, sb), (_, sc) in zip(a, b, c):
             assert abs(sa - sb) < 1e-9 and abs(sa - sc) < 1e-9, q
+
+
+def test_segmented_fielded_equals_rebuild(spark, tmp_path):
+    """Fielded base tree + per-field delta segments must answer
+    BIT-identically to a fielded rebuild over the final corpus state
+    (per-field merged statistics, shared doc-level tombstones)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = (
+        synth_corpus(spark, 160, partitions=4)
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+            - 1,
+        )
+        .withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("content"), " "), 1, 6), " ")
+        )
+        .persist()
+    )
+    base_corpus = corpus.where(F.col("doc_id") < 150).persist()
+    FIELDS = {"title": ("title", "simple"), "body": ("content", "simple_stem")}
+    COPY = {"title": ["all"]}
+    base_root, delta_root = str(tmp_path / "base"), str(tmp_path / "delta")
+    lc.save_fielded(
+        FL.build_fielded_sharded(base_corpus, FIELDS, copy_to=COPY, shard_size=32),
+        base_root, "x", "g1",
+    )
+
+    updated = (
+        base_corpus.where(F.col("doc_id") % 8 == 2)
+        .withColumn("title", F.lit("segtitle fresh"))
+        .withColumn(
+            "content",
+            F.concat(F.lit("segbody merged "), (F.col("doc_id") % 5).cast("string")),
+        )
+    )
+    new = corpus.where(F.col("doc_id") >= 150)
+    delta_docs = updated.unionByName(new).persist()
+    lc.publish_fielded_delta_segment(
+        spark, base_root, delta_docs, delta_root, "x", "d1",
+        fields=FIELDS, copy_to=COPY,
+    )
+    seg = FL.SegmentedFielded.from_snapshots(base_root, delta_root)
+
+    final = base_corpus.where(F.col("doc_id") % 8 != 2).unionByName(delta_docs)
+    re_root = str(tmp_path / "re")
+    lc.save_fielded(
+        FL.build_fielded_sharded(final, FIELDS, copy_to=COPY, shard_size=32),
+        re_root, "x", "g2",
+    )
+    full = FL.LocalFieldedSharded.from_snapshot(re_root)
+
+    for q in ["title:segtitle", "body:merged", "all:tokenize | all:score",
+              'body:"applicable law"', "title:tokenize -body:license",
+              "title:seg*"]:
+        a = [(d, round(s, 9)) for d, s in full.search(q, k=15)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=15)]
+        assert a == b, (q, a[:3], b[:3])
