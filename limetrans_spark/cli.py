@@ -123,7 +123,9 @@ def _add_serve(sub):
         "--segment-base", default=None,
         help="serve a delta segment: --root points at the DELTA index "
         "root, this flag at the BASE index root (publish_delta_segment "
-        "layout; results are bit-identical to a full rebuild)",
+        "layout; results are bit-identical to a full rebuild). With "
+        "--fielded, both roots are save_fielded trees "
+        "(publish_fielded_delta_segment layout)",
     )
 
 
@@ -171,9 +173,14 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.serve import LocalSearcher
 
         if args.fielded:
-            from .operators.fielded import LocalFieldedSharded
+            from .operators.fielded import LocalFieldedSharded, SegmentedFielded
 
-            repl = LocalFieldedSharded.from_snapshot(args.root)
+            if args.segment_base:
+                repl = SegmentedFielded.from_snapshots(
+                    args.segment_base, args.root
+                )
+            else:
+                repl = LocalFieldedSharded.from_snapshot(args.root)
             hits = repl.search(
                 args.query, k=args.k, default_field=args.default_field,
                 unordered_slop=args.unordered_slop,

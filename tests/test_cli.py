@@ -238,3 +238,42 @@ def test_cli_serve_segment(spark, tmp_path):
     rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert {r["doc_id"] for r in rows} == {d for d in range(90) if d % 10 == 1}
     assert "SparkContext" not in out.stderr
+
+
+def test_cli_serve_fielded_segment(spark, tmp_path):
+    """`serve --fielded --segment-base`: Spark-free fielded serving over
+    a save_fielded base tree plus per-field delta segments."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.fielded import build_fielded_sharded
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 80, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("content"), " "), 1, 5), " ")
+    ).persist()
+    FIELDS = {"title": ("title", "simple"), "body": ("content", "simple")}
+    base_root, delta_root = str(tmp_path / "base"), str(tmp_path / "delta")
+    lc.save_fielded(
+        build_fielded_sharded(corpus, FIELDS, shard_size=32), base_root, "x", "g1"
+    )
+    upd = corpus.where(F.col("doc_id") % 10 == 3).withColumn(
+        "title", F.lit("fcliseg fresh")
+    )
+    lc.publish_fielded_delta_segment(
+        spark, base_root, upd, delta_root, "x", "d1", fields=FIELDS
+    )
+
+    out = run_cli(
+        "serve", "--fielded", "--root", delta_root, "--segment-base", base_root,
+        "--query", "title:fcliseg", "-k", "20",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert {r["doc_id"] for r in rows} == {d for d in range(80) if d % 10 == 3}
+    assert "SparkContext" not in out.stderr
