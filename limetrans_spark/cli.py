@@ -127,6 +127,12 @@ def _add_serve(sub):
         "--fielded, both roots are save_fielded trees "
         "(publish_fielded_delta_segment layout)",
     )
+    p.add_argument(
+        "--segments", action="store_true",
+        help="serve the WHOLE segment stack: --root points at the "
+        "newest delta; the base and any intermediate segments are "
+        "discovered through the segment_of links each publish recorded",
+    )
 
 
 def _add_filter(sub):
@@ -175,7 +181,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.fielded:
             from .operators.fielded import LocalFieldedSharded, SegmentedFielded
 
-            if args.segment_base:
+            if args.segments:
+                repl = SegmentedFielded.from_chain(args.root)
+            elif args.segment_base:
                 repl = SegmentedFielded.from_snapshots(
                     args.segment_base, args.root
                 )
@@ -185,7 +193,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.query, k=args.k, default_field=args.default_field,
                 unordered_slop=args.unordered_slop,
             )
-        elif args.segment_base:
+        elif args.segment_base or args.segments:
             from .operators.serve import SegmentedSearcher
 
             def _resolve(root):
@@ -194,9 +202,12 @@ def main(argv: list[str] | None = None) -> int:
                     raise FileNotFoundError(f"no current snapshot under {root}")
                 return os.path.join(root, "snapshots", snap)
 
-            seg = SegmentedSearcher.from_snapshots(
-                _resolve(args.segment_base), _resolve(args.root)
-            )
+            if args.segments:
+                seg = SegmentedSearcher.from_chain(_resolve(args.root))
+            else:
+                seg = SegmentedSearcher.from_snapshots(
+                    _resolve(args.segment_base), _resolve(args.root)
+                )
             hits = seg.search(
                 args.query, k=args.k, unordered_slop=args.unordered_slop
             )

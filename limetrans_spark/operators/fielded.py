@@ -1301,24 +1301,28 @@ class LocalFieldedSharded:
 
 class SegmentedFielded:
     """Fielded twin of :class:`serve.SegmentedSearcher`: a base
-    ``save_fielded`` tree (doc-level tombstones) plus a per-field delta
-    segment tree (``lifecycle.publish_fielded_delta_segment``), every
-    per-field searcher on BOTH sides scoring with the exactly-merged
-    per-field statistics — results bit-identical to a fielded rebuild
-    over the final corpus state (pytest
-    ``test_segmented_fielded_equals_rebuild``)."""
+    ``save_fielded`` tree plus one or more per-field delta segment
+    trees (``lifecycle.publish_fielded_delta_segment``), every
+    per-field searcher in EVERY segment scoring with the newest
+    exactly-merged per-field statistics, each older segment tombstoning
+    the union of all newer segments' superseded doc ids — results
+    bit-identical to a fielded rebuild over the final corpus state
+    (pytest ``test_segmented_fielded_equals_rebuild`` /
+    ``test_fielded_segment_stack_equals_rebuild``)."""
 
-    def __init__(self, base: LocalFieldedSharded, delta: LocalFieldedSharded):
-        self.base = base
-        self.delta = delta
+    def __init__(self, *searchers: LocalFieldedSharded):
+        if len(searchers) < 2:
+            raise ValueError("a segment stack needs >= 2 searchers")
+        self.searchers = list(searchers)  # oldest .. newest
+        self.base = searchers[0]
+        self.delta = searchers[-1]
 
-    @classmethod
-    def from_snapshots(
-        cls,
-        base_root: str,
-        delta_root: str,
-        cache_budget_bytes: int = 1 << 30,
-    ) -> "SegmentedFielded":
+    @staticmethod
+    def _tree_meta(root: str):
+        """(merged per-field stats, shared tombstones) of one fielded
+        delta tree — stats from every field's current segment snapshot,
+        the doc-level tombstone list from the first (they are written
+        identical by the publisher)."""
         import json as _json
         import os as _os
 
@@ -1326,12 +1330,12 @@ class SegmentedFielded:
 
         from ..plans.lifecycle import current_snapshot
 
-        with open(_os.path.join(delta_root, "fielded_manifest.json")) as f:
+        with open(_os.path.join(root, "fielded_manifest.json")) as f:
             dm = _json.load(f)
         overrides: dict = {}
         tomb = None
         for fname in dm["fields"]:
-            froot = _os.path.join(delta_root, "fields", fname)
+            froot = _os.path.join(root, "fields", fname)
             snap = current_snapshot(froot)
             if snap is None:
                 raise FileNotFoundError(f"delta field {fname!r} has no snapshot")
@@ -1352,16 +1356,67 @@ class SegmentedFielded:
                 tomb = _pq.read_table(
                     _os.path.join(sdir, "tombstones")
                 ).column("doc_id").to_numpy()
-        base = LocalFieldedSharded.from_snapshot(
-            base_root,
-            cache_budget_bytes // 2,
-            exclude_docs=tomb,
-            stats_override=overrides,
+        return overrides, tomb
+
+    @classmethod
+    def _open_roots(
+        cls, roots: "list[str]", cache_budget_bytes: int
+    ) -> "SegmentedFielded":
+        """Open an ordered (oldest-first) list of fielded trees as one
+        segment stack: newest tree's merged stats everywhere, exclusion
+        list per tree = union of all newer trees' tombstones."""
+        overrides = None
+        excludes: list = [None] * len(roots)
+        acc = None
+        for i in range(len(roots) - 1, 0, -1):
+            excludes[i] = acc
+            ov, tomb = cls._tree_meta(roots[i])
+            if overrides is None:
+                overrides = ov  # newest segment's merged per-field stats
+            acc = tomb if acc is None else np.union1d(acc, tomb)
+        excludes[0] = acc
+        budget = max(1, cache_budget_bytes // len(roots))
+        return cls(
+            *(
+                LocalFieldedSharded.from_snapshot(
+                    r,
+                    budget,
+                    exclude_docs=excludes[i],
+                    stats_override=overrides,
+                )
+                for i, r in enumerate(roots)
+            )
         )
-        delta = LocalFieldedSharded.from_snapshot(
-            delta_root, cache_budget_bytes // 2, stats_override=overrides
-        )
-        return cls(base, delta)
+
+    @classmethod
+    def from_snapshots(
+        cls,
+        base_root: str,
+        delta_root: str,
+        cache_budget_bytes: int = 1 << 30,
+    ) -> "SegmentedFielded":
+        return cls._open_roots([base_root, delta_root], cache_budget_bytes)
+
+    @classmethod
+    def from_chain(
+        cls, newest_root: str, cache_budget_bytes: int = 1 << 30
+    ) -> "SegmentedFielded":
+        """Open a whole fielded segment stack from its newest tree,
+        following the ``segment_of`` links in the fielded manifests."""
+        import json as _json
+        import os as _os
+
+        chain = []
+        cur: "str | None" = newest_root
+        while cur:
+            chain.append(cur)
+            with open(_os.path.join(cur, "fielded_manifest.json")) as f:
+                cur = _json.load(f).get("segment_of")
+            if cur in chain:
+                raise ValueError(f"segment_of cycle at {cur}")
+        if len(chain) < 2:
+            raise ValueError(f"{newest_root} has no segment_of link")
+        return cls._open_roots(chain[::-1], cache_budget_bytes)
 
     def search(
         self,
@@ -1381,7 +1436,7 @@ class SegmentedFielded:
                     default_field=default_field,
                     unordered_slop=unordered_slop,
                 )
-                for s in (self.base, self.delta)
+                for s in self.searchers
             ],
             k,
         )

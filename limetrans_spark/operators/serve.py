@@ -691,9 +691,10 @@ class LocalSearcher:
 
 
 class SegmentedSearcher:
-    """Serve a base snapshot plus a delta segment (Lucene-segment
-    style): the base searcher tombstones the superseded doc ids, the
-    delta searcher holds the updated/new documents, BOTH score with the
+    """Serve a base snapshot plus one or more delta segments
+    (Lucene-segment style): each older segment tombstones the doc ids
+    superseded by newer segments, the newest segments hold the
+    updated/new documents, and ALL score with the
     exactly-merged global statistics (``lifecycle.publish_delta_segment``
     writes them into the delta snapshot), and per-query top-ks fold
     with :func:`merge_topk` — results bit-identical to a full rebuild
@@ -704,10 +705,13 @@ class SegmentedSearcher:
     slow cadence — exactly the Elasticsearch update/rebuild split
     (``ElasticsearchIndexer.java:88-164``)."""
 
-    def __init__(self, base: LocalSearcher, delta: LocalSearcher):
-        self.base = base
-        self.delta = delta
-        self.analyzer = delta.analyzer
+    def __init__(self, *searchers: LocalSearcher):
+        if len(searchers) < 2:
+            raise ValueError("a segment stack needs >= 2 searchers")
+        self.searchers = list(searchers)  # oldest .. newest
+        self.base = searchers[0]
+        self.delta = searchers[-1]
+        self.analyzer = self.delta.analyzer
 
     @classmethod
     def from_snapshots(
@@ -746,6 +750,60 @@ class SegmentedSearcher:
             )
         return cls(base, delta)
 
+    @classmethod
+    def from_chain(
+        cls, newest_snap: str, cache_budget_bytes: int = 1 << 30
+    ) -> "SegmentedSearcher":
+        """Open a whole Lucene-style segment STACK from its newest
+        segment, following the ``segment_of`` links each publish
+        recorded (``lifecycle.segment_chain``).  Segment *i* tombstones
+        the union of every NEWER segment's superseded doc ids (a doc's
+        live version is in the newest segment that carries it), and
+        every segment scores with the newest exactly-merged global
+        statistics — results bit-identical to a full rebuild over the
+        final corpus state, however many update batches were absorbed
+        (pytest ``test_segment_stack_equals_rebuild``)."""
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from ..plans.lifecycle import segment_chain
+
+        chain = segment_chain(newest_snap)
+        if len(chain) < 2:
+            raise ValueError(f"{newest_snap} has no segment_of link")
+        with open(_os.path.join(newest_snap, "manifest.json")) as f:
+            m = _json.load(f)["metrics"]
+        mt = _pq.read_table(
+            _os.path.join(newest_snap, "merged_terms"), columns=["term", "df"]
+        )
+        term_df = dict(
+            zip(mt.column("term").to_pylist(), mt.column("df").to_pylist())
+        )
+        # exclusion list per segment = union of all NEWER tombstones
+        excludes: list = [None] * len(chain)
+        acc = None
+        for i in range(len(chain) - 1, 0, -1):
+            excludes[i] = acc
+            t = _pq.read_table(
+                _os.path.join(chain[i], "tombstones")
+            ).column("doc_id").to_numpy()
+            acc = t if acc is None else np.union1d(acc, t)
+        excludes[0] = acc
+        budget = max(1, cache_budget_bytes // len(chain))
+        searchers = [
+            LocalSearcher.from_snapshot(
+                snap, cache_budget_bytes=budget, exclude_docs=excludes[i]
+            )
+            for i, snap in enumerate(chain)
+        ]
+        for s in searchers:
+            s.override_stats(
+                term_df, int(m["merged_n_docs"]), float(m["merged_avgdl"])
+            )
+        return cls(*searchers)
+
     def search(
         self,
         query: "str | ParsedQuery",
@@ -759,7 +817,7 @@ class SegmentedSearcher:
                 s.search(
                     query, k=k, operator=operator, unordered_slop=unordered_slop
                 )
-                for s in (self.base, self.delta)
+                for s in self.searchers
             ],
             k,
         )

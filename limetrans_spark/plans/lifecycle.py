@@ -538,6 +538,24 @@ def publish_delta_segment(
     )
 
 
+def segment_chain(snap: str) -> list[str]:
+    """Follow ``segment_of`` links from a snapshot back to its base —
+    returns ``[base, d1, ..., snap]`` oldest-first (a plain snapshot is
+    a one-element chain).  Each delta segment records the snapshot it
+    was published against, so pointing any API at the NEWEST segment is
+    enough to recover the whole Lucene-style segment stack."""
+    chain = []
+    cur: str | None = snap
+    while cur:
+        chain.append(cur)
+        with open(os.path.join(cur, "manifest.json")) as f:
+            m = json.load(f).get("metrics") or {}
+        cur = m.get("segment_of")
+        if cur in chain:
+            raise ValueError(f"segment_of cycle at {cur}")
+    return chain[::-1]
+
+
 def _publish_segment_of(
     spark: SparkSession,
     prev_snap: str,
@@ -552,18 +570,80 @@ def _publish_segment_of(
     and fielded segment publishers).  df/cf/N/avgdl are exact via int64
     removal arithmetic; the dl aggregates count only rows with dl > 0
     so per-field segments (where many corpus docs have no tokens in a
-    given field) match ``corpus_stats``' doclens-based N exactly."""
-    prev_post = spark.read.parquet(os.path.join(prev_snap, "postings"))
-    removed = (
-        prev_post.select("term", "doc_id", "tf")
-        .join(F.broadcast(upd), "doc_id", "left_semi")
-        .groupBy("term")
-        .agg(
-            F.count("*").cast("long").alias("df_rm"),
-            F.sum("tf").cast("long").alias("cf_rm"),
+    given field) match ``corpus_stats``' doclens-based N exactly.
+
+    ``prev_snap`` may itself be a delta segment: the previous-state
+    dictionary then comes from ITS exactly-merged ``merged_terms`` +
+    ``merged_n_docs``/``merged_sum_dl`` (no base recomputation — the
+    stats cost of stacking segment N+1 is independent of stack depth),
+    and the removed contributions are scanned per chain segment over
+    only the updated docs whose LIVE version sits in that segment (a
+    doc's live postings are in the newest segment that contains it and
+    that no newer tombstone kills)."""
+    chain = segment_chain(prev_snap)
+
+    if len(chain) == 1:
+        prev_terms = spark.read.parquet(
+            os.path.join(prev_snap, "terms")
+        ).select("term", "df", "cf", "max_tf")
+        prev_doc = (
+            spark.read.parquet(os.path.join(prev_snap, "docstore"))
+            .select("doc_id", "dl")
+            .where(F.col("dl") > 0)  # mirror corpus_stats' doclens basis
         )
+        prev_row = prev_doc.agg(
+            F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
+        ).collect()[0]
+        n_prev, s_prev = int(prev_row["n"]), int(prev_row["s"] or 0)
+    else:
+        prev_terms = spark.read.parquet(
+            os.path.join(prev_snap, "merged_terms")
+        ).select("term", "df", "cf", "max_tf")
+        with open(os.path.join(prev_snap, "manifest.json")) as f:
+            pmx = json.load(f)["metrics"]
+        n_prev, s_prev = int(pmx["merged_n_docs"]), int(pmx["merged_sum_dl"])
+
+    # removed contributions: walk the stack newest→oldest; in each
+    # segment, only updated docs NOT superseded by a newer tombstone
+    # still contribute postings/dl there
+    removed_parts = []
+    rm_n = rm_s = 0
+    newer_tombs: DataFrame | None = None
+    for seg in reversed(chain):
+        upd_live = (
+            upd
+            if newer_tombs is None
+            else upd.join(F.broadcast(newer_tombs), "doc_id", "left_anti")
+        )
+        removed_parts.append(
+            spark.read.parquet(os.path.join(seg, "postings"))
+            .select("term", "doc_id", "tf")
+            .join(F.broadcast(upd_live), "doc_id", "left_semi")
+        )
+        row = (
+            spark.read.parquet(os.path.join(seg, "docstore"))
+            .select("doc_id", "dl")
+            .where(F.col("dl") > 0)
+            .join(F.broadcast(upd_live), "doc_id", "left_semi")
+            .agg(F.count("*").alias("n"), F.sum("dl").cast("long").alias("s"))
+            .collect()[0]
+        )
+        rm_n += int(row["n"])
+        rm_s += int(row["s"] or 0)
+        tomb_dir = os.path.join(seg, "tombstones")
+        if os.path.isdir(tomb_dir):
+            t = spark.read.parquet(tomb_dir).select("doc_id")
+            newer_tombs = (
+                t if newer_tombs is None
+                else newer_tombs.unionByName(t).distinct()
+            )
+    rm_all = removed_parts[0]
+    for part in removed_parts[1:]:
+        rm_all = rm_all.unionByName(part)
+    removed = rm_all.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_rm"),
+        F.sum("tf").cast("long").alias("cf_rm"),
     )
-    prev_terms = spark.read.parquet(os.path.join(prev_snap, "terms"))
     dterms = delta_idx.terms.select(
         "term",
         F.col("df").alias("df_d"),
@@ -572,7 +652,7 @@ def _publish_segment_of(
     )
     zero = F.lit(0).cast("long")
     merged = (
-        prev_terms.select("term", "df", "cf", "max_tf")
+        prev_terms
         .join(removed, "term", "left")
         .join(dterms, "term", "full")
         .select(
@@ -595,26 +675,11 @@ def _publish_segment_of(
         .withColumn("tlen", F.length("term").cast("int"))
     )
 
-    prev_doc = (
-        spark.read.parquet(os.path.join(prev_snap, "docstore"))
-        .select("doc_id", "dl")
-        .where(F.col("dl") > 0)  # mirror corpus_stats' doclens basis
-    )
-    prev_row = prev_doc.agg(
-        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
-    ).collect()[0]
-    rm_row = (
-        prev_doc.join(F.broadcast(upd), "doc_id", "left_semi")
-        .agg(F.count("*").alias("n"), F.sum("dl").cast("long").alias("s"))
-        .collect()[0]
-    )
     d_row = delta_idx.doclens.agg(
         F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
     ).collect()[0]
-    n2 = int(prev_row["n"]) - int(rm_row["n"]) + int(d_row["n"])
-    sum2 = (
-        int(prev_row["s"] or 0) - int(rm_row["s"] or 0) + int(d_row["s"] or 0)
-    )
+    n2 = n_prev - rm_n + int(d_row["n"])
+    sum2 = s_prev - rm_s + int(d_row["s"] or 0)
     avgdl2 = sum2 / n2 if n2 else 0.0  # same expression as corpus_stats
 
     snap = save_index(

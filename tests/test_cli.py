@@ -277,3 +277,46 @@ def test_cli_serve_fielded_segment(spark, tmp_path):
     rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert {r["doc_id"] for r in rows} == {d for d in range(80) if d % 10 == 3}
     assert "SparkContext" not in out.stderr
+
+
+def test_cli_serve_segment_chain(spark, tmp_path):
+    """`serve --segments`: the whole stack is discovered from the
+    newest delta root via the recorded segment_of links."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 60, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    b = lc.save_index(
+        build_index(corpus, shard_size=32), str(tmp_path / "base"), "c", "g1"
+    )
+    d1 = lc.publish_delta_segment(
+        spark, b,
+        corpus.where(F.col("doc_id") % 10 == 1).withColumn(
+            "content", F.lit("chainterm one")
+        ),
+        str(tmp_path / "d1"), "c", "s1",
+    )
+    lc.publish_delta_segment(
+        spark, d1,
+        corpus.where(F.col("doc_id") % 20 == 1).withColumn(
+            "content", F.lit("chainterm two")
+        ),
+        str(tmp_path / "d2"), "c", "s2",
+    )
+
+    out = run_cli(
+        "serve", "--root", str(tmp_path / "d2"), "--segments",
+        "--query", "chainterm", "-k", "30",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert {r["doc_id"] for r in rows} == {d for d in range(60) if d % 10 == 1}
+    assert "SparkContext" not in out.stderr

@@ -683,3 +683,82 @@ def test_segmented_fielded_equals_rebuild(spark, tmp_path):
         a = [(d, round(s, 9)) for d, s in full.search(q, k=15)]
         b = [(d, round(s, 9)) for d, s in seg.search(q, k=15)]
         assert a == b, (q, a[:3], b[:3])
+
+
+def test_fielded_segment_stack_equals_rebuild(spark, tmp_path):
+    """Fielded base tree + TWO stacked per-field delta trees opened via
+    ``SegmentedFielded.from_chain`` answer bit-identically to a fielded
+    rebuild (per-field merged stats chain, shared tombstones union)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = (
+        synth_corpus(spark, 130, partitions=4)
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+            - 1,
+        )
+        .withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("content"), " "), 1, 6), " ")
+        )
+        .persist()
+    )
+    base = corpus.where(F.col("doc_id") < 110).persist()
+    FIELDS = {"title": ("title", "simple"), "body": ("content", "simple_stem")}
+    COPY = {"title": ["all"]}
+    roots = [str(tmp_path / n) for n in ("base", "d1", "d2", "re")]
+    lc.save_fielded(
+        FL.build_fielded_sharded(base, FIELDS, copy_to=COPY, shard_size=32),
+        roots[0], "x", "g1",
+    )
+
+    u1 = base.where(F.col("doc_id") % 6 == 2).withColumn(
+        "title", F.lit("stackone fresh")
+    )
+    n1 = corpus.where((F.col("doc_id") >= 110) & (F.col("doc_id") < 120))
+    lc.publish_fielded_delta_segment(
+        spark, roots[0], u1.unionByName(n1), roots[1], "x", "s1",
+        fields=FIELDS, copy_to=COPY,
+    )
+
+    u2 = base.where(F.col("doc_id") % 12 == 2).withColumn(
+        "content", F.lit("stacktwo merged body")
+    ).unionByName(
+        corpus.where(F.col("doc_id") == 113).withColumn(
+            "title", F.lit("stacktwo newupd")
+        )
+    )
+    n2 = corpus.where(F.col("doc_id") >= 120)
+    lc.publish_fielded_delta_segment(
+        spark, roots[1], u2.unionByName(n2), roots[2], "x", "s2",
+        fields=FIELDS, copy_to=COPY,
+        deleted_ids=spark.createDataFrame([(7,), (111,)], "doc_id long"),
+    )
+    seg = FL.SegmentedFielded.from_chain(roots[2])
+    assert len(seg.searchers) == 3
+
+    final = (
+        base.where(
+            (F.col("doc_id") % 6 != 2) & ~F.col("doc_id").isin(7)
+        )
+        .unionByName(u1.where((F.col("doc_id") % 12 != 2)))
+        .unionByName(n1.where(~F.col("doc_id").isin(111, 113)))
+        .unionByName(u2)
+        .unionByName(n2)
+    )
+    lc.save_fielded(
+        FL.build_fielded_sharded(final, FIELDS, copy_to=COPY, shard_size=32),
+        roots[3], "x", "g2",
+    )
+    full = FL.LocalFieldedSharded.from_snapshot(roots[3])
+
+    for q in ["title:stackone", "body:stacktwo", "title:stacktwo",
+              "all:tokenize | all:score", 'body:"applicable law"',
+              "title:fresh -body:merged", "title:stack*"]:
+        a = [(d, round(s, 9)) for d, s in full.search(q, k=15)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=15)]
+        assert a == b, (q, a[:3], b[:3])

@@ -257,3 +257,74 @@ def test_segmented_serving_equals_rebuild(spark, tmp_path):
         or d % 9 != 4
         for d, _ in seg.search("tokenize", k=200)
     )
+
+
+def test_segment_stack_equals_rebuild(spark, tmp_path):
+    """Base + TWO stacked delta segments (re-updates, a delta-born doc
+    updated again, deletions of base AND delta-born docs) opened via
+    ``from_chain`` must answer bit-identically to a full rebuild —
+    stats chain through merged_terms/merged_sum_dl, never recomputed
+    from the base."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.serve import SegmentedSearcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    corpus = synth_corpus(spark, 140, partitions=4).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    base = corpus.where(F.col("doc_id") < 120).persist()
+    b_snap = lc.save_index(
+        build_index(base, shard_size=32), str(tmp_path / "base"), "c", "g1"
+    )
+
+    # delta 1: update docs %7==1, append 120..129
+    u1 = base.where(F.col("doc_id") % 7 == 1).withColumn(
+        "content",
+        F.concat(F.lit("deltaone fresh "), (F.col("doc_id") % 4).cast("string")),
+    )
+    n1 = corpus.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 130))
+    d1_snap = lc.publish_delta_segment(
+        spark, b_snap, u1.unionByName(n1), str(tmp_path / "d1"), "c", "s1"
+    )
+
+    # delta 2: RE-update half the d1 updates, update a d1-born doc,
+    # append 130..139, delete base doc 5 and d1-born doc 120
+    u2 = (
+        base.where(F.col("doc_id") % 14 == 1)
+        .withColumn("content", F.lit("deltatwo reupdate"))
+        .unionByName(
+            corpus.where(F.col("doc_id") == 124).withColumn(
+                "content", F.lit("deltatwo newupd")
+            )
+        )
+    )
+    n2 = corpus.where(F.col("doc_id") >= 130)
+    d2_snap = lc.publish_delta_segment(
+        spark, d1_snap, u2.unionByName(n2), str(tmp_path / "d2"), "c", "s2",
+        deleted_ids=spark.createDataFrame([(5,), (120,)], "doc_id long"),
+    )
+    seg = SegmentedSearcher.from_chain(d2_snap)
+    assert len(seg.searchers) == 3
+
+    final = (
+        base.where((F.col("doc_id") % 7 != 1) & (F.col("doc_id") != 5))
+        .unionByName(u1.where(F.col("doc_id") % 14 != 1))
+        .unionByName(n1.where(~F.col("doc_id").isin(120, 124)))
+        .unionByName(u2)
+        .unionByName(n2)
+    )
+    full = LocalSearcher.from_index(build_index(final, shard_size=32))
+
+    for q in ["deltaone", "deltatwo", "tokenize | score", "license -tokenize",
+              '"applicable law"', "token*", "deltaone deltatwo", "fresh",
+              "deltaon~1"]:
+        a = [(d, round(s, 9)) for d, s in full.search(q, k=20)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=20)]
+        assert a == b, (q, a[:3], b[:3])
+    # merged dictionary is exact for old, re-removed, and fresh terms
+    for t in ["deltaone", "deltatwo", "tokenize", "license"]:
+        assert seg.delta.term_df.get(t, 0) == full.term_df.get(t, 0), t
