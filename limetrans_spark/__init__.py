@@ -30,6 +30,7 @@ from .operators.serve import LocalSearcher, SegmentedSearcher, merge_topk
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
+    compact_segments,
     load_index,
     publish_delta_segment,
     publish_fielded_delta_segment,
@@ -48,6 +49,7 @@ __all__ = [
     "SegmentedFielded",
     "SegmentedSearcher",
     "merge_topk",
+    "compact_segments",
     "publish_delta_segment",
     "publish_fielded_delta_segment",
     "apply_deletes",

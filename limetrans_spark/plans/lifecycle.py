@@ -779,6 +779,61 @@ def publish_fielded_delta_segment(
     return paths
 
 
+def compact_segments(
+    spark: SparkSession,
+    newest_snap: str,
+    root: str,
+    name: str,
+    generation: str,
+    text_col: str = "content",
+    retain: int = DEFAULT_RETAIN,
+) -> str:
+    """Fold a whole segment stack back into a fresh base snapshot — the
+    periodic compaction that bounds stack depth (Lucene's merge policy
+    analogue).  The final corpus state is reassembled from the stack's
+    OWN docstores (each segment's docstore carries the document
+    content; a doc's live version sits in the newest segment that holds
+    it and that no newer tombstone kills), retokenized with the stack's
+    analyzer, and published WITHOUT a ``segment_of`` link.  Unlike the
+    positionless streaming-delta compaction
+    (``streaming.ingest.compact_deltas``), the result is a FULL
+    positional index: compact(stack) ≡ rebuild over the final corpus,
+    bit-identical BM25 including phrases (pytest
+    ``test_compact_segments_equals_rebuild``).  The ride-along
+    ``content_sha256`` column is re-verified during the rebuild, so a
+    corrupted docstore fails the compaction instead of publishing."""
+    from ..operators.build import build_index
+
+    chain = segment_chain(newest_snap)
+    if len(chain) < 2:
+        raise ValueError(f"{newest_snap} has no segment_of link")
+    with open(os.path.join(newest_snap, "manifest.json")) as f:
+        nm = json.load(f)
+    analyzer = (nm.get("metrics") or {}).get("analyzer") or "code"
+    shard_size = int(nm["shard_size"])
+
+    final = None
+    newer_tombs: DataFrame | None = None
+    for seg in reversed(chain):
+        d = spark.read.parquet(os.path.join(seg, "docstore")).drop("dl")
+        if newer_tombs is not None:
+            d = d.join(F.broadcast(newer_tombs), "doc_id", "left_anti")
+        final = d if final is None else final.unionByName(
+            d, allowMissingColumns=True
+        )
+        tomb_dir = os.path.join(seg, "tombstones")
+        if os.path.isdir(tomb_dir):
+            t = spark.read.parquet(tomb_dir).select("doc_id")
+            newer_tombs = (
+                t if newer_tombs is None
+                else newer_tombs.unionByName(t).distinct()
+            )
+    idx = build_index(
+        final, text_col=text_col, analyzer=analyzer, shard_size=shard_size
+    )
+    return save_index(idx, root, name, generation, retain=retain)
+
+
 def load_fielded(spark: SparkSession, root: str) -> dict:
     """Open every field's current snapshot → {field: BuiltIndex}."""
     with open(os.path.join(root, "fielded_manifest.json")) as f:

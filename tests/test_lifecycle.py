@@ -160,3 +160,58 @@ def test_update_mode_requires_existing_index(spark, corpus, tmp_path):
     assert lc.current_snapshot(root) == "code-g1"  # same generation, no new snapshot
     assert lc.list_snapshots(root) == ["code-g1"]
     assert rep2.index.n_docs == rep1.index.n_docs
+
+
+def test_compact_segments_equals_rebuild(spark, tmp_path):
+    """Folding a base + 2-delta segment stack with ``compact_segments``
+    must publish a fresh positional base whose answers (incl. phrases)
+    are bit-identical to serving the stack, with no segment_of link."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.operators.serve import LocalSearcher, SegmentedSearcher
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 100, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    b = lc.save_index(
+        build_index(corpus, shard_size=32), str(tmp_path / "base"), "c", "g1"
+    )
+    d1 = lc.publish_delta_segment(
+        spark, b,
+        corpus.where(F.col("doc_id") % 9 == 2).withColumn(
+            "content", F.lit("compactme alpha beta")
+        ),
+        str(tmp_path / "d1"), "c", "s1",
+    )
+    d2 = lc.publish_delta_segment(
+        spark, d1,
+        corpus.where(F.col("doc_id") % 18 == 2).withColumn(
+            "content", F.lit("compactme gamma delta")
+        ),
+        str(tmp_path / "d2"), "c", "s2",
+        deleted_ids=spark.createDataFrame([(4,)], "doc_id long"),
+    )
+
+    c_snap = lc.compact_segments(spark, d2, str(tmp_path / "compacted"), "c", "g2")
+    with open(_os.path.join(c_snap, "manifest.json")) as f:
+        assert "segment_of" not in (_json.load(f).get("metrics") or {})
+
+    stack = SegmentedSearcher.from_chain(d2)
+    flat = LocalSearcher.from_snapshot(c_snap)
+    for q in ["compactme", "alpha -gamma", '"compactme gamma"',
+              "tokenize | score", "compact*", '"applicable law"']:
+        a = [(d, round(s, 9)) for d, s in stack.search(q, k=15)]
+        b2 = [(d, round(s, 9)) for d, s in flat.search(q, k=15)]
+        assert a == b2, (q, a[:3], b2[:3])
+    assert flat.search("compactme", k=50) and all(
+        d != 4 for d, _ in flat.search("tokenize", k=100)
+    )
