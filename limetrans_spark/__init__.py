@@ -30,6 +30,7 @@ from .operators.serve import LocalSearcher, SegmentedSearcher, merge_topk
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
+    compact_fielded_segments,
     compact_segments,
     load_index,
     publish_delta_segment,
@@ -49,6 +50,7 @@ __all__ = [
     "SegmentedFielded",
     "SegmentedSearcher",
     "merge_topk",
+    "compact_fielded_segments",
     "compact_segments",
     "publish_delta_segment",
     "publish_fielded_delta_segment",

@@ -1403,20 +1403,12 @@ class SegmentedFielded:
     ) -> "SegmentedFielded":
         """Open a whole fielded segment stack from its newest tree,
         following the ``segment_of`` links in the fielded manifests."""
-        import json as _json
-        import os as _os
+        from ..plans.lifecycle import fielded_segment_chain
 
-        chain = []
-        cur: "str | None" = newest_root
-        while cur:
-            chain.append(cur)
-            with open(_os.path.join(cur, "fielded_manifest.json")) as f:
-                cur = _json.load(f).get("segment_of")
-            if cur in chain:
-                raise ValueError(f"segment_of cycle at {cur}")
+        chain = fielded_segment_chain(newest_root)
         if len(chain) < 2:
             raise ValueError(f"{newest_root} has no segment_of link")
-        return cls._open_roots(chain[::-1], cache_budget_bytes)
+        return cls._open_roots(chain, cache_budget_bytes)
 
     def search(
         self,

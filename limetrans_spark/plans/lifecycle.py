@@ -834,6 +834,90 @@ def compact_segments(
     return save_index(idx, root, name, generation, retain=retain)
 
 
+def fielded_segment_chain(root: str) -> list[str]:
+    """Follow ``segment_of`` links between fielded trees (written by
+    :func:`publish_fielded_delta_segment`) — returns roots oldest-first."""
+    chain = []
+    cur: str | None = root
+    while cur:
+        chain.append(cur)
+        with open(os.path.join(cur, "fielded_manifest.json")) as f:
+            cur = json.load(f).get("segment_of")
+        if cur in chain:
+            raise ValueError(f"segment_of cycle at {cur}")
+    return chain[::-1]
+
+
+def compact_fielded_segments(
+    spark: SparkSession,
+    newest_root: str,
+    root: str,
+    name: str,
+    generation: str,
+    fields: dict,
+    copy_to: dict | None = None,
+    target_analyzers: dict | None = None,
+    retain: int = DEFAULT_RETAIN,
+) -> dict:
+    """Fielded twin of :func:`compact_segments`: fold a fielded segment
+    stack into a fresh ``save_fielded`` tree.  The final corpus rows are
+    reconstructed from the stack's own per-field docstores (each
+    declared field's docstore carries that field's source column;
+    joining them on ``doc_id`` recovers the original multi-column rows
+    — copy_to targets are derived, so they rebuild from the sources),
+    live-filtered per tree by the newer trees' shared tombstones, and
+    rebuilt with the SAME ``fields``/``copy_to``/``target_analyzers``
+    config the stack was built with (the caller's contract, exactly as
+    for the publishers) — bit-identical to serving the stack (pytest
+    ``test_compact_fielded_segments_equals_stack``)."""
+    from ..operators.fielded import _norm_fields, build_fielded_sharded
+
+    chain = fielded_segment_chain(newest_root)
+    if len(chain) < 2:
+        raise ValueError(f"{newest_root} has no segment_of link")
+    norm = _norm_fields(fields)
+
+    def field_snap(tree: str, fname: str) -> str:
+        froot = os.path.join(tree, "fields", fname)
+        snap = current_snapshot(froot)
+        if snap is None:
+            raise FileNotFoundError(f"field {fname!r} has no snapshot in {tree}")
+        return os.path.join(froot, "snapshots", snap)
+
+    f0 = sorted(norm)[0]
+    with open(os.path.join(field_snap(chain[0], f0), "manifest.json")) as f:
+        shard_size = int(json.load(f)["shard_size"])
+
+    final = None
+    newer_tombs: DataFrame | None = None
+    for tree in reversed(chain):
+        rows = None
+        for fname, (src, _an) in sorted(norm.items()):
+            d = (
+                spark.read.parquet(os.path.join(field_snap(tree, fname), "docstore"))
+                .select("doc_id", F.col("content").alias(src))
+            )
+            rows = d if rows is None else rows.join(d, "doc_id")
+        if newer_tombs is not None:
+            rows = rows.join(F.broadcast(newer_tombs), "doc_id", "left_anti")
+        final = rows if final is None else final.unionByName(rows)
+        tomb_dir = os.path.join(field_snap(tree, f0), "tombstones")
+        if os.path.isdir(tomb_dir):
+            t = spark.read.parquet(tomb_dir).select("doc_id")
+            newer_tombs = (
+                t if newer_tombs is None
+                else newer_tombs.unionByName(t).distinct()
+            )
+    idxs = build_fielded_sharded(
+        final,
+        fields,
+        copy_to=copy_to,
+        target_analyzers=target_analyzers,
+        shard_size=shard_size,
+    )
+    return save_fielded(idxs, root, name, generation, retain=retain)
+
+
 def load_fielded(spark: SparkSession, root: str) -> dict:
     """Open every field's current snapshot → {field: BuiltIndex}."""
     with open(os.path.join(root, "fielded_manifest.json")) as f:

@@ -762,3 +762,61 @@ def test_fielded_segment_stack_equals_rebuild(spark, tmp_path):
         a = [(d, round(s, 9)) for d, s in full.search(q, k=15)]
         b = [(d, round(s, 9)) for d, s in seg.search(q, k=15)]
         assert a == b, (q, a[:3], b[:3])
+
+
+def test_compact_fielded_segments_equals_stack(spark, tmp_path):
+    """Folding a fielded 2-delta stack with ``compact_fielded_segments``
+    (corpus rows reconstructed from the per-field docstores) publishes
+    a fresh save_fielded tree bit-identical to serving the stack."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = (
+        synth_corpus(spark, 90, partitions=2)
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+            - 1,
+        )
+        .withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("content"), " "), 1, 5), " ")
+        )
+        .persist()
+    )
+    FIELDS = {"title": ("title", "simple"), "body": ("content", "simple_stem")}
+    COPY = {"title": ["all"]}
+    roots = [str(tmp_path / n) for n in ("base", "d1", "d2", "cc")]
+    lc.save_fielded(
+        FL.build_fielded_sharded(corpus, FIELDS, copy_to=COPY, shard_size=32),
+        roots[0], "x", "g1",
+    )
+    lc.publish_fielded_delta_segment(
+        spark, roots[0],
+        corpus.where(F.col("doc_id") % 7 == 3).withColumn(
+            "title", F.lit("fcompact one")
+        ),
+        roots[1], "x", "s1", fields=FIELDS, copy_to=COPY,
+    )
+    lc.publish_fielded_delta_segment(
+        spark, roots[1],
+        corpus.where(F.col("doc_id") % 14 == 3).withColumn(
+            "content", F.lit("fcompact two body")
+        ),
+        roots[2], "x", "s2", fields=FIELDS, copy_to=COPY,
+        deleted_ids=spark.createDataFrame([(6,)], "doc_id long"),
+    )
+
+    lc.compact_fielded_segments(
+        spark, roots[2], roots[3], "x", "g2", fields=FIELDS, copy_to=COPY
+    )
+    flat = FL.LocalFieldedSharded.from_snapshot(roots[3])
+    stack = FL.SegmentedFielded.from_chain(roots[2])
+    for q in ["title:fcompact", "body:fcompact", "all:tokenize | all:score",
+              'body:"applicable law"', "title:fcomp*", "body:two -title:one"]:
+        a = [(d, round(s, 9)) for d, s in flat.search(q, k=15)]
+        b = [(d, round(s, 9)) for d, s in stack.search(q, k=15)]
+        assert a == b, (q, a[:3], b[:3])
+    assert all(d != 6 for d, _ in flat.search("all:tokenize", k=100))
