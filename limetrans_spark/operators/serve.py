@@ -122,6 +122,7 @@ class LocalSearcher:
         # fetched lazily by index so posting blobs never materialize as
         # Python objects until a query touches their term
         self._table = None
+        self._snap_dir: str | None = None
         self._snap_v = 0
         self._snap_code: dict[str, int] = {}
         self._snap_keys: np.ndarray | None = None
@@ -175,6 +176,36 @@ class LocalSearcher:
         self.avgdl = avgdl
         self._vocab = sorted(term_df)
         self._vocab_by_len = None
+
+    def get_document(self, doc_id: int) -> "dict | None":
+        """Spark-free point lookup against the snapshot's docstore
+        parquet — the serving-tier analogue of
+        ``BuiltIndex.get_document`` (ElasticsearchClient getDocument):
+        the doc_id equality predicate prunes the scan through parquet
+        row-group min/max statistics, so a replica answers without a
+        SparkSession or a full docstore load.  Tombstoned (superseded)
+        docs return ``None``.  Only snapshot-backed searchers
+        (:meth:`from_snapshot`) carry a docstore."""
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        if self._snap_dir is None:
+            raise ValueError(
+                "get_document needs a from_snapshot-backed searcher"
+            )
+        d = int(doc_id)
+        if self._exclude is not None:
+            i = int(np.searchsorted(self._exclude, d))
+            if i < self._exclude.size and self._exclude[i] == d:
+                return None
+        t = _pq.read_table(
+            _os.path.join(self._snap_dir, "docstore"),
+            filters=[("doc_id", "==", d)],
+        )
+        if t.num_rows == 0:
+            return None
+        return {c: t.column(c)[0].as_py() for c in t.column_names}
 
     def _drop_excluded(self, docs: np.ndarray, *arrs: np.ndarray):
         if self._exclude is None or docs.size == 0:
@@ -253,6 +284,7 @@ class LocalSearcher:
         # the argsort is skipped entirely; any other layout falls back
         # to one int64 argsort — correctness never depends on layout.
         self._table = table
+        self._snap_dir = snap
         shards_np = table.column("shard").to_numpy()
         if table.num_rows:
             enc = table.column("term").dictionary_encode().combine_chunks()
@@ -821,6 +853,18 @@ class SegmentedSearcher:
             ],
             k,
         )
+
+    def get_document(self, doc_id: int) -> "dict | None":
+        """Point lookup across the stack: a doc's live version is in
+        the newest segment that holds it — older segments' tombstone
+        exclusions make a superseded copy answer ``None``, so the
+        newest-first walk returns exactly the rebuilt index's row (or
+        ``None`` for deleted ids)."""
+        for s in reversed(self.searchers):
+            row = s.get_document(doc_id)
+            if row is not None:
+                return row
+        return None
 
 
 def _edit_le(a: str, b: str, k: int) -> bool:

@@ -328,3 +328,44 @@ def test_segment_stack_equals_rebuild(spark, tmp_path):
     # merged dictionary is exact for old, re-removed, and fresh terms
     for t in ["deltaone", "deltatwo", "tokenize", "license"]:
         assert seg.delta.term_df.get(t, 0) == full.term_df.get(t, 0), t
+
+
+def test_serving_get_document(spark, tmp_path):
+    """Spark-free point lookup: LocalSearcher.get_document answers from
+    the docstore parquet; across a segment stack the newest live
+    version wins, superseded/deleted ids answer None."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.serve import SegmentedSearcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    corpus = synth_corpus(spark, 50, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    b = lc.save_index(
+        build_index(corpus, shard_size=32), str(tmp_path / "b"), "c", "g1"
+    )
+    one = LocalSearcher.from_snapshot(b)
+    row = one.get_document(3)
+    want = corpus.where(F.col("doc_id") == 3).collect()[0]
+    assert row is not None and row["content"] == want["content"]
+    assert one.get_document(10_000) is None
+    with _pytest.raises(ValueError):
+        LocalSearcher.from_index(build_index(corpus, shard_size=32)).get_document(3)
+
+    d1 = lc.publish_delta_segment(
+        spark, b,
+        corpus.where(F.col("doc_id") == 7).withColumn(
+            "content", F.lit("getdoc fresh")
+        ),
+        str(tmp_path / "d1"), "c", "s1",
+        deleted_ids=spark.createDataFrame([(9,)], "doc_id long"),
+    )
+    seg = SegmentedSearcher.from_chain(d1)
+    assert seg.get_document(7)["content"] == "getdoc fresh"
+    assert seg.get_document(9) is None          # deleted
+    assert seg.get_document(3)["content"] == want["content"]  # untouched
