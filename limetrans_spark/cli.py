@@ -146,6 +146,23 @@ def _add_filter(sub):
     p.add_argument("--limit", type=int, default=100, help="stdout row cap")
 
 
+def _add_compact(sub):
+    p = sub.add_parser(
+        "compact",
+        help="fold a delta-segment stack into a fresh base snapshot "
+        "(compact_segments; the stack is located from the newest "
+        "delta's segment_of links)",
+    )
+    p.add_argument("--root", required=True,
+                   help="NEWEST delta index root of the stack")
+    p.add_argument("--out", required=True,
+                   help="output index root for the compacted base")
+    p.add_argument("--name", default="code")
+    p.add_argument("--generation", required=True)
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--retain", type=int, default=2)
+
+
 def _add_run(sub):
     p = sub.add_parser(
         "run",
@@ -170,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_search_fielded(sub)
     _add_serve(sub)
     _add_filter(sub)
+    _add_compact(sub)
     _add_run(sub)
     args = ap.parse_args(argv)
 
@@ -270,6 +288,19 @@ def main(argv: list[str] | None = None) -> int:
                 "resumed_buckets": rep.metrics["resumed_buckets"],
                 "n_postings": rep.metrics["n_postings"],
             }))
+        elif args.cmd == "compact":
+            import os
+
+            snap_name = lc.current_snapshot(args.root)
+            if snap_name is None:
+                raise FileNotFoundError(f"no current snapshot under {args.root}")
+            snap = lc.compact_segments(
+                spark,
+                os.path.join(args.root, "snapshots", snap_name),
+                args.out, args.name, args.generation,
+                text_col=args.text_col, retain=args.retain,
+            )
+            print(json.dumps({"snapshot": snap}))
         elif args.cmd == "search":
             idx = lc.load_index(spark, args.root, args.snapshot)
             if args.mode == "df":

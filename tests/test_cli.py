@@ -320,3 +320,45 @@ def test_cli_serve_segment_chain(spark, tmp_path):
     rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert {r["doc_id"] for r in rows} == {d for d in range(60) if d % 10 == 1}
     assert "SparkContext" not in out.stderr
+
+
+def test_cli_compact_segments(spark, tmp_path):
+    """`compact` folds the stack located via --root's segment_of links
+    into a fresh base, served identically to the stack afterwards."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 50, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    b = lc.save_index(
+        build_index(corpus, shard_size=32), str(tmp_path / "base"), "c", "g1"
+    )
+    lc.publish_delta_segment(
+        spark, b,
+        corpus.where(F.col("doc_id") % 5 == 2).withColumn(
+            "content", F.lit("clicompact fresh")
+        ),
+        str(tmp_path / "d1"), "c", "s1",
+    )
+
+    out = run_cli(
+        "compact", "--root", str(tmp_path / "d1"),
+        "--out", str(tmp_path / "cc"), "--generation", "g2",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    snap = json.loads(out.stdout.strip().splitlines()[-1])["snapshot"]
+    assert snap.startswith(str(tmp_path / "cc"))
+
+    served = run_cli(
+        "serve", "--root", str(tmp_path / "cc"),
+        "--query", "clicompact", "-k", "20",
+    )
+    rows = [json.loads(l) for l in served.stdout.strip().splitlines() if l.startswith("{")]
+    assert {r["doc_id"] for r in rows} == {d for d in range(50) if d % 5 == 2}
