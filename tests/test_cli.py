@@ -278,6 +278,25 @@ def test_cli_serve_fielded_segment(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {d for d in range(80) if d % 10 == 3}
     assert "SparkContext" not in out.stderr
 
+    # stack a second fielded delta and serve the whole chain
+    d2_root = str(tmp_path / "delta2")
+    lc.publish_fielded_delta_segment(
+        spark, delta_root,
+        corpus.where(F.col("doc_id") % 20 == 3).withColumn(
+            "title", F.lit("fcliseg2 again")
+        ),
+        d2_root, "x", "d2", fields=FIELDS,
+    )
+    out2 = run_cli(
+        "serve", "--fielded", "--root", d2_root, "--segments",
+        "--query", "title:fcliseg", "-k", "20",
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rows2 = [json.loads(l) for l in out2.stdout.strip().splitlines() if l.startswith("{")]
+    assert {r["doc_id"] for r in rows2} == {
+        d for d in range(80) if d % 10 == 3 and d % 20 != 3
+    }
+
 
 def test_cli_serve_segment_chain(spark, tmp_path):
     """`serve --segments`: the whole stack is discovered from the
