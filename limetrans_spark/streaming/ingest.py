@@ -183,6 +183,115 @@ def incremental_index(
     )
 
 
+def stream_segment_updates(
+    stream: DataFrame,
+    base_snap: str,
+    root: str,
+    checkpoint_dir: str,
+    name: str = "stream",
+    text_col: str = "content",
+    deleted_col: str | None = None,
+):
+    """foreachBatch SEGMENT publisher — the streaming twin of
+    :func:`plans.lifecycle.publish_delta_segment`: every micro-batch is
+    absorbed as one chained delta segment against the current chain
+    head, so the served index (``SegmentedSearcher.from_chain`` over
+    the head) is bit-identical to a batch rebuild over the stream's
+    cumulative state after EVERY trigger, with per-trigger cost
+    proportional to the batch (the delta-format path trades positions
+    away for cheaper appends; this path keeps the FULL positional
+    index live).
+
+    Exactly-once absorption: the streaming checkpoint replays at most
+    the last uncommitted batch, and the chain head (``STREAM_HEAD.json``
+    under ``root``, written atomically AFTER a successful publish)
+    records the id of the last absorbed batch — a replayed batch id
+    ≤ the recorded id is skipped, so the chain never forks or double-
+    counts statistics (pytest ``test_stream_segment_updates``).
+
+    ``deleted_col`` (optional boolean column) marks deletion records:
+    they tombstone + remove statistics without contributing a delta
+    doc — the streaming deletionLiteral flow.
+
+    Depth is bounded by the caller's compaction cadence: between runs,
+    fold with :func:`plans.lifecycle.compact_segments` on the head and
+    point ``set_stream_head`` at the compacted snapshot."""
+    import json as _json
+    import os as _os
+
+    from ..plans import lifecycle as lc
+
+    head_file = _os.path.join(root, "STREAM_HEAD.json")
+
+    def read_head() -> dict:
+        if _os.path.exists(head_file):
+            with open(head_file) as f:
+                return _json.load(f)
+        return {"snap": base_snap, "batch_id": -1}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        head = read_head()
+        if batch_id <= head["batch_id"]:
+            return  # replay of an already-absorbed batch
+        deleted = None
+        if deleted_col is not None and deleted_col in batch_df.columns:
+            deleted = batch_df.where(F.col(deleted_col)).select("doc_id")
+            batch_df = batch_df.where(
+                ~F.coalesce(F.col(deleted_col), F.lit(False))
+            )
+        snap = lc.publish_delta_segment(
+            batch_df.sparkSession,
+            head["snap"],
+            batch_df,
+            _os.path.join(root, f"seg-b{batch_id}"),
+            name,
+            f"b{batch_id}",
+            text_col=text_col,
+            deleted_ids=deleted,
+        )
+        tmp = head_file + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"snap": snap, "batch_id": batch_id}, f)
+        _os.replace(tmp, head_file)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_head(root: str, base_snap: str | None = None) -> str:
+    """Current chain-head snapshot of a :func:`stream_segment_updates`
+    root (falls back to ``base_snap`` before the first absorb)."""
+    import json as _json
+    import os as _os
+
+    head_file = _os.path.join(root, "STREAM_HEAD.json")
+    if _os.path.exists(head_file):
+        with open(head_file) as f:
+            return _json.load(f)["snap"]
+    if base_snap is None:
+        raise FileNotFoundError(f"no STREAM_HEAD.json under {root}")
+    return base_snap
+
+
+def set_stream_head(root: str, snap: str, batch_id: int) -> None:
+    """Repoint the chain head (after an out-of-band compaction fold).
+    ``batch_id`` must be the last absorbed batch id so replay skipping
+    keeps working across the fold."""
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(root, "STREAM_HEAD.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"snap": snap, "batch_id": batch_id}, f)
+    _os.replace(tmp, _os.path.join(root, "STREAM_HEAD.json"))
+
+
 def read_postings_deltas(spark: SparkSession, out_dir: str) -> DataFrame:
     """Union of all appended deltas, newest batch wins per *document*
     (last-write-wins on re-indexed docs, ElasticsearchIndexerTest

@@ -433,3 +433,97 @@ def test_compact_deltas_rejects_mixed_formats(spark, tmp_path):
         [(0, "alpha", 2, 0)], "doc_id long, term string, tf int, batch int"
     ).write.mode("append").partitionBy("batch").parquet(out3)
     assert "dl" not in ingest.read_postings_deltas(spark, out3).columns
+
+
+def test_stream_segment_updates(spark, tmp_path):
+    """Streaming segment ingestion: each micro-batch absorbed as a
+    chained delta segment; the served chain head is bit-identical to a
+    batch rebuild over the cumulative stream state after every trigger,
+    deletion records tombstone without delta docs, replays are skipped,
+    and a compaction fold re-bases the chain."""
+    from pyspark.sql import types as T
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.operators.serve import LocalSearcher, SegmentedSearcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "segroot")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_rows = [
+        (0, "alpha beta gamma"),
+        (1, "delta epsilon zeta"),
+        (2, "eta theta iota"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, content string")
+    base_snap = lc.save_index(
+        build_index(base, shard_size=16), str(tmp_path / "base"), "s", "g1"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+    )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        q = ingest.stream_segment_updates(
+            stream, base_snap, root, ckpt, deleted_col="deleted"
+        )
+        q.awaitTermination(120)
+
+    # batch 0: update doc 1 + append doc 3
+    _write_jsonl(f"{landing}/b0.jsonl", [
+        {"doc_id": 1, "content": "streamseg fresh alpha", "deleted": False},
+        {"doc_id": 3, "content": "streamseg appended", "deleted": False},
+    ])
+    run_stream()
+    # batch 1: DELETION-ONLY (doc 0 tombstones, no delta doc)
+    _write_jsonl(f"{landing}/b1.jsonl", [
+        {"doc_id": 0, "content": None, "deleted": True},
+    ])
+    run_stream()
+
+    head = ingest.stream_head(root)
+    seg = SegmentedSearcher.from_chain(head)
+    assert len(seg.searchers) == 3
+
+    final = spark.createDataFrame(
+        [(1, "streamseg fresh alpha"), (2, "eta theta iota"),
+         (3, "streamseg appended")],
+        "doc_id long, content string",
+    )
+    full = LocalSearcher.from_index(build_index(final, shard_size=16))
+    for q in ["streamseg", "alpha", "eta | zeta", "alpha -appended"]:
+        a = [(d, round(s, 9)) for d, s in full.search(q, k=10)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=10)]
+        assert a == b, (q, a, b)
+    assert seg.get_document(0) is None
+    assert seg.get_document(1)["content"] == "streamseg fresh alpha"
+
+    # replay safety: re-running with no new files adds no segments
+    run_stream()
+    assert ingest.stream_head(root) == head
+
+    # compaction fold between runs, then one more batch chains from it
+    cc = lc.compact_segments(spark, head, str(tmp_path / "cc"), "s", "g2")
+    ingest.set_stream_head(root, cc, batch_id=1)
+    _write_jsonl(f"{landing}/b2.jsonl", [
+        {"doc_id": 4, "content": "postcompact kappa", "deleted": False},
+    ])
+    run_stream()
+    head2 = ingest.stream_head(root)
+    seg2 = SegmentedSearcher.from_chain(head2)
+    assert len(seg2.searchers) == 2  # compacted base + one new delta
+    hits = seg2.search("postcompact", k=5)
+    assert [d for d, _ in hits] == [4]
+    assert [d for d, _ in seg2.search("streamseg", k=5)] == [1, 3] or \
+           {d for d, _ in seg2.search("streamseg", k=5)} == {1, 3}
