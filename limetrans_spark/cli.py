@@ -163,6 +163,18 @@ def _add_compact(sub):
     p.add_argument("--retain", type=int, default=2)
 
 
+def _add_check(sub):
+    p = sub.add_parser(
+        "check",
+        help="checkIndex analogue for a segment stack: recompute the "
+        "live state's df/cf/N/Σdl from the segments' own postings "
+        "(tombstone-aware) and compare against the newest segment's "
+        "exactly-merged statistics (check_segments)",
+    )
+    p.add_argument("--root", required=True,
+                   help="NEWEST delta index root of the stack")
+
+
 def _add_run(sub):
     p = sub.add_parser(
         "run",
@@ -188,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_serve(sub)
     _add_filter(sub)
     _add_compact(sub)
+    _add_check(sub)
     _add_run(sub)
     args = ap.parse_args(argv)
 
@@ -301,6 +314,20 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col, retain=args.retain,
             )
             print(json.dumps({"snapshot": snap}))
+        elif args.cmd == "check":
+            import os
+
+            snap_name = lc.current_snapshot(args.root)
+            if snap_name is None:
+                raise FileNotFoundError(f"no current snapshot under {args.root}")
+            try:
+                report = lc.check_segments(
+                    spark, os.path.join(args.root, "snapshots", snap_name)
+                )
+            except ValueError as e:
+                print(json.dumps({"ok": False, "error": str(e)}))
+                return 1
+            print(json.dumps(report))
         elif args.cmd == "search":
             idx = lc.load_index(spark, args.root, args.snapshot)
             if args.mode == "df":

@@ -848,6 +848,89 @@ def fielded_segment_chain(root: str) -> list[str]:
     return chain[::-1]
 
 
+def check_segments(spark: SparkSession, newest_snap: str) -> dict:
+    """CheckIndex analogue for a segment stack (the reference runs
+    Lucene's checkIndex before trusting an index —
+    ``ElasticsearchServer.java`` check/update mode): recompute the
+    final state's df/cf/N/Σdl from the stack's own postings/docstores
+    (live-version walk: each segment minus the union of newer
+    tombstones) and compare against the newest segment's exactly-merged
+    statistics, and verify no doc id is live in two segments at once
+    (a missing tombstone).  Returns a report dict with ``ok``; raises
+    ``ValueError`` on any mismatch so lifecycle scripts fail loudly."""
+    chain = segment_chain(newest_snap)
+    if len(chain) < 2:
+        raise ValueError(f"{newest_snap} has no segment_of link")
+
+    live_posts = None
+    live_docs = None
+    newer_tombs: DataFrame | None = None
+    for seg in reversed(chain):
+        post = spark.read.parquet(os.path.join(seg, "postings")).select(
+            "term", "doc_id", "tf"
+        )
+        doc = (
+            spark.read.parquet(os.path.join(seg, "docstore"))
+            .select("doc_id", "dl")
+            .where(F.col("dl") > 0)
+        )
+        if newer_tombs is not None:
+            post = post.join(F.broadcast(newer_tombs), "doc_id", "left_anti")
+            doc = doc.join(F.broadcast(newer_tombs), "doc_id", "left_anti")
+        live_posts = post if live_posts is None else live_posts.unionByName(post)
+        live_docs = doc if live_docs is None else live_docs.unionByName(doc)
+        tomb_dir = os.path.join(seg, "tombstones")
+        if os.path.isdir(tomb_dir):
+            t = spark.read.parquet(tomb_dir).select("doc_id")
+            newer_tombs = (
+                t if newer_tombs is None
+                else newer_tombs.unionByName(t).distinct()
+            )
+
+    dup_docs = (
+        live_docs.groupBy("doc_id").count().where(F.col("count") > 1).count()
+    )
+    doc_row = live_docs.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).collect()[0]
+    recomputed = live_posts.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_r"),
+        F.sum("tf").cast("long").alias("cf_r"),
+    )
+    merged = spark.read.parquet(
+        os.path.join(newest_snap, "merged_terms")
+    ).select("term", "df", "cf")
+    zero = F.lit(0).cast("long")
+    stat_mismatches = (
+        merged.join(recomputed, "term", "full")
+        .where(
+            (F.coalesce("df", zero) != F.coalesce("df_r", zero))
+            | (F.coalesce("cf", zero) != F.coalesce("cf_r", zero))
+        )
+        .count()
+    )
+    with open(os.path.join(newest_snap, "manifest.json")) as f:
+        mm = json.load(f)["metrics"]
+    report = {
+        "segments": len(chain),
+        "n_docs": int(doc_row["n"]),
+        "n_docs_expected": int(mm["merged_n_docs"]),
+        "sum_dl": int(doc_row["s"] or 0),
+        "sum_dl_expected": int(mm["merged_sum_dl"]),
+        "term_stat_mismatches": int(stat_mismatches),
+        "duplicate_live_docs": int(dup_docs),
+    }
+    report["ok"] = (
+        report["n_docs"] == report["n_docs_expected"]
+        and report["sum_dl"] == report["sum_dl_expected"]
+        and report["term_stat_mismatches"] == 0
+        and report["duplicate_live_docs"] == 0
+    )
+    if not report["ok"]:
+        raise ValueError(f"segment stack check failed: {report}")
+    return report
+
+
 def compact_fielded_segments(
     spark: SparkSession,
     newest_root: str,

@@ -381,3 +381,44 @@ def test_cli_compact_segments(spark, tmp_path):
     )
     rows = [json.loads(l) for l in served.stdout.strip().splitlines() if l.startswith("{")]
     assert {r["doc_id"] for r in rows} == {d for d in range(50) if d % 5 == 2}
+
+
+def test_cli_check_segments(spark, tmp_path):
+    """`check` validates a segment stack's merged statistics against a
+    recomputation from the segments' own postings; exit 1 + ok:false on
+    a corrupted stack (missing tombstone list)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 40, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    b = lc.save_index(
+        build_index(corpus, shard_size=32), str(tmp_path / "base"), "c", "g1"
+    )
+    d1 = lc.publish_delta_segment(
+        spark, b,
+        corpus.where(F.col("doc_id") % 8 == 1).withColumn(
+            "content", F.lit("checkcli one")
+        ),
+        str(tmp_path / "d1"), "c", "s1",
+    )
+
+    out = run_cli("check", "--root", str(tmp_path / "d1"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["ok"] and report["segments"] == 2
+
+    shutil.rmtree(os.path.join(d1, "tombstones"))
+    out = run_cli("check", "--root", str(tmp_path / "d1"))
+    assert out.returncode == 1
+    assert not json.loads(out.stdout.strip().splitlines()[-1])["ok"]

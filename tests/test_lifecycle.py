@@ -215,3 +215,51 @@ def test_compact_segments_equals_rebuild(spark, tmp_path):
     assert flat.search("compactme", k=50) and all(
         d != 4 for d, _ in flat.search("tokenize", k=100)
     )
+
+
+def test_check_segments_green_then_detects_corruption(spark, tmp_path):
+    """``check_segments`` is the stack-level checkIndex: recomputing the
+    final state from the segments' own postings must agree with the
+    newest segment's exactly-merged statistics; deleting a segment's
+    tombstone list (so a superseded doc is live twice) must raise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    corpus = synth_corpus(spark, 80, partitions=2).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+        - 1,
+    ).persist()
+    base = lc.save_index(
+        build_index(corpus, shard_size=32), str(tmp_path / "base"), "c", "g1"
+    )
+    with pytest.raises(ValueError, match="segment_of"):
+        lc.check_segments(spark, base)  # plain snapshot: nothing to check
+
+    d1 = lc.publish_delta_segment(
+        spark, base,
+        corpus.where(F.col("doc_id") % 7 == 3).withColumn(
+            "content", F.lit("checkme alpha beta")
+        ),
+        str(tmp_path / "d1"), "c", "s1",
+    )
+    d2 = lc.publish_delta_segment(
+        spark, d1,
+        corpus.where(F.col("doc_id") % 14 == 3).withColumn(
+            "content", F.lit("checkme gamma")
+        ),
+        str(tmp_path / "d2"), "c", "s2",
+        deleted_ids=spark.createDataFrame([(5,)], "doc_id long"),
+    )
+
+    report = lc.check_segments(spark, d2)
+    assert report["ok"] and report["segments"] == 3
+    assert report["term_stat_mismatches"] == 0
+    assert report["duplicate_live_docs"] == 0
+    assert report["n_docs"] == report["n_docs_expected"]
+
+    # corrupt the stack: drop d2's tombstones — the d1/base versions of
+    # the updated docs (and deleted doc 5) become live again
+    shutil.rmtree(os.path.join(d2, "tombstones"))
+    with pytest.raises(ValueError, match="segment stack check failed"):
+        lc.check_segments(spark, d2)
