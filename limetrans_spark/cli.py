@@ -166,13 +166,13 @@ def _add_compact(sub):
 def _add_check(sub):
     p = sub.add_parser(
         "check",
-        help="checkIndex analogue for a segment stack: recompute the "
-        "live state's df/cf/N/Σdl from the segments' own postings "
-        "(tombstone-aware) and compare against the newest segment's "
-        "exactly-merged statistics (check_segments)",
+        help="checkIndex analogue: recompute the live state's df/cf/N "
+        "from the snapshot's (or segment stack's) own postings — "
+        "tombstone-aware across a stack — and compare against the "
+        "published statistics (check_index)",
     )
     p.add_argument("--root", required=True,
-                   help="NEWEST delta index root of the stack")
+                   help="index root (plain snapshot or NEWEST delta of a stack)")
 
 
 def _add_run(sub):
@@ -321,7 +321,7 @@ def main(argv: list[str] | None = None) -> int:
             if snap_name is None:
                 raise FileNotFoundError(f"no current snapshot under {args.root}")
             try:
-                report = lc.check_segments(
+                report = lc.check_index(
                     spark, os.path.join(args.root, "snapshots", snap_name)
                 )
             except ValueError as e:

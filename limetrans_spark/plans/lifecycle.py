@@ -931,6 +931,71 @@ def check_segments(spark: SparkSession, newest_snap: str) -> dict:
     return report
 
 
+def check_index(spark: SparkSession, snap: str) -> dict:
+    """checkIndex for ANY snapshot (the reference gates every publish on
+    Lucene's checkIndex — ``ElasticsearchClient.java:204-209``): a
+    segment stack delegates to :func:`check_segments`; a plain snapshot
+    is verified self-consistently — per-term df/cf recomputed from the
+    postings parquet vs the published ``terms`` dictionary, and
+    N/avgdl recomputed from the docstore vs the manifest (avgdl via the
+    exact ``int64 sum ÷ once`` expression ``corpus_stats`` uses, so a
+    healthy snapshot matches bit-for-bit).  Raises ``ValueError`` on
+    any mismatch."""
+    if len(segment_chain(snap)) > 1:
+        return check_segments(spark, snap)
+
+    post = spark.read.parquet(os.path.join(snap, "postings")).select(
+        "term", "doc_id", "tf"
+    )
+    recomputed = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_r"),
+        F.sum("tf").cast("long").alias("cf_r"),
+    )
+    terms = spark.read.parquet(os.path.join(snap, "terms")).select(
+        "term", "df", "cf"
+    )
+    zero = F.lit(0).cast("long")
+    stat_mismatches = (
+        terms.join(recomputed, "term", "full")
+        .where(
+            (F.coalesce("df", zero) != F.coalesce("df_r", zero))
+            | (F.coalesce("cf", zero) != F.coalesce("cf_r", zero))
+        )
+        .count()
+    )
+    doc = (
+        spark.read.parquet(os.path.join(snap, "docstore"))
+        .select("doc_id", "dl")
+        .where(F.col("dl") > 0)
+    )
+    doc_row = doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").cast("long").alias("s"),
+        F.count_distinct("doc_id").alias("n_distinct"),
+    ).collect()[0]
+    n = int(doc_row["n"])
+    with open(os.path.join(snap, "manifest.json")) as f:
+        mani = json.load(f)
+    report = {
+        "segments": 1,
+        "n_docs": n,
+        "n_docs_expected": int(mani["n_docs"]),
+        "avgdl": (int(doc_row["s"] or 0) / n if n else 0.0),
+        "avgdl_expected": float(mani["avgdl"]),
+        "term_stat_mismatches": int(stat_mismatches),
+        "duplicate_live_docs": n - int(doc_row["n_distinct"]),
+    }
+    report["ok"] = (
+        report["n_docs"] == report["n_docs_expected"]
+        and report["avgdl"] == report["avgdl_expected"]
+        and report["term_stat_mismatches"] == 0
+        and report["duplicate_live_docs"] == 0
+    )
+    if not report["ok"]:
+        raise ValueError(f"snapshot check failed: {report}")
+    return report
+
+
 def compact_fielded_segments(
     spark: SparkSession,
     newest_root: str,

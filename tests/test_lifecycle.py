@@ -234,7 +234,25 @@ def test_check_segments_green_then_detects_corruption(spark, tmp_path):
         build_index(corpus, shard_size=32), str(tmp_path / "base"), "c", "g1"
     )
     with pytest.raises(ValueError, match="segment_of"):
-        lc.check_segments(spark, base)  # plain snapshot: nothing to check
+        lc.check_segments(spark, base)  # stack checker needs a stack
+
+    # plain snapshot: check_index verifies terms vs postings + manifest
+    rep0 = lc.check_index(spark, base)
+    assert rep0["ok"] and rep0["segments"] == 1
+    assert rep0["avgdl"] == rep0["avgdl_expected"]  # bit-equal, ÷-once
+
+    # tamper the manifest doc count -> check_index must refuse
+    mpath = os.path.join(base, "manifest.json")
+    with open(mpath) as f:
+        mani = json.load(f)
+    mani["n_docs"] += 1
+    with open(mpath, "w") as f:
+        json.dump(mani, f)
+    with pytest.raises(ValueError, match="snapshot check failed"):
+        lc.check_index(spark, base)
+    mani["n_docs"] -= 1
+    with open(mpath, "w") as f:
+        json.dump(mani, f)
 
     d1 = lc.publish_delta_segment(
         spark, base,
