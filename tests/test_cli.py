@@ -422,3 +422,22 @@ def test_cli_check_segments(spark, tmp_path):
     out = run_cli("check", "--root", str(tmp_path / "d1"))
     assert out.returncode == 1
     assert not json.loads(out.stdout.strip().splitlines()[-1])["ok"]
+
+
+def test_pyfiles_zip_is_fresh(tmp_path):
+    """The committed spark-submit --py-files artifact must match a fresh
+    deterministic repackage of the source tree byte-for-byte (the zip is
+    reproducible: sorted members, zeroed timestamps). If this fails, run
+    `python tools/package_pyfiles.py`."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "package_pyfiles", "/root/repo/tools/package_pyfiles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = mod.package(str(tmp_path / "fresh.zip"))
+    with open(fresh, "rb") as a, open("/root/repo/dist/limetrans_spark.zip", "rb") as b:
+        assert a.read() == b.read(), (
+            "dist/limetrans_spark.zip is stale — run tools/package_pyfiles.py"
+        )
