@@ -173,6 +173,9 @@ def _add_check(sub):
     )
     p.add_argument("--root", required=True,
                    help="index root (plain snapshot or NEWEST delta of a stack)")
+    p.add_argument("--fielded", action="store_true",
+                   help="root is a save_fielded tree: check every "
+                   "field's stack + the shared-tombstone invariant")
 
 
 def _add_run(sub):
@@ -317,13 +320,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "check":
             import os
 
-            snap_name = lc.current_snapshot(args.root)
-            if snap_name is None:
-                raise FileNotFoundError(f"no current snapshot under {args.root}")
             try:
-                report = lc.check_index(
-                    spark, os.path.join(args.root, "snapshots", snap_name)
-                )
+                if args.fielded:
+                    report = lc.check_fielded_segments(spark, args.root)
+                else:
+                    snap_name = lc.current_snapshot(args.root)
+                    if snap_name is None:
+                        raise FileNotFoundError(
+                            f"no current snapshot under {args.root}"
+                        )
+                    report = lc.check_index(
+                        spark, os.path.join(args.root, "snapshots", snap_name)
+                    )
             except ValueError as e:
                 print(json.dumps({"ok": False, "error": str(e)}))
                 return 1

@@ -996,6 +996,62 @@ def check_index(spark: SparkSession, snap: str) -> dict:
     return report
 
 
+def check_fielded_segments(spark: SparkSession, newest_root: str) -> dict:
+    """Fielded twin of :func:`check_index`: validate every field's
+    snapshot stack independently (per-field df/cf/N/Σdl recomputation
+    vs the published merged statistics), then the two invariants that
+    make a fielded stack one coherent index rather than F unrelated
+    ones — every field's chain has the SAME depth (the fields were
+    published together), and every segment level carries the IDENTICAL
+    doc-level tombstone list across fields
+    (:func:`publish_fielded_delta_segment` writes one shared list per
+    level; a field missing a tombstone would serve a stale doc version
+    for that field only, silently breaking cross-field conjunctions).
+    Raises ``ValueError`` on any violation."""
+    with open(os.path.join(newest_root, "fielded_manifest.json")) as f:
+        fields = sorted(json.load(f)["fields"])
+
+    reports: dict = {}
+    chains: dict[str, list[str]] = {}
+    for fname in fields:
+        froot = os.path.join(newest_root, "fields", fname)
+        snap_name = current_snapshot(froot)
+        if snap_name is None:
+            raise ValueError(f"field {fname!r} has no current snapshot")
+        snap = os.path.join(froot, "snapshots", snap_name)
+        reports[fname] = check_index(spark, snap)
+        chains[fname] = segment_chain(snap)
+
+    depths = {fname: len(c) for fname, c in chains.items()}
+    if len(set(depths.values())) != 1:
+        raise ValueError(f"fielded stack depths differ across fields: {depths}")
+    depth = depths[fields[0]]
+
+    tomb_mismatch_levels = []
+    for level in range(1, depth):  # level 0 = base, no tombstones
+        ref = spark.read.parquet(
+            os.path.join(chains[fields[0]][level], "tombstones")
+        ).select("doc_id")
+        for fname in fields[1:]:
+            other = spark.read.parquet(
+                os.path.join(chains[fname][level], "tombstones")
+            ).select("doc_id")
+            diff = (
+                ref.exceptAll(other).count() + other.exceptAll(ref).count()
+            )
+            if diff:
+                tomb_mismatch_levels.append((level, fname, int(diff)))
+    report = {
+        "fields": reports,
+        "segments": depth,
+        "tombstone_mismatches": tomb_mismatch_levels,
+        "ok": not tomb_mismatch_levels,
+    }
+    if not report["ok"]:
+        raise ValueError(f"fielded stack check failed: {tomb_mismatch_levels}")
+    return report
+
+
 def compact_fielded_segments(
     spark: SparkSession,
     newest_root: str,

@@ -297,6 +297,12 @@ def test_cli_serve_fielded_segment(spark, tmp_path):
         d for d in range(80) if d % 10 == 3 and d % 20 != 3
     }
 
+    # `check --fielded` validates the 3-level stack we just served
+    chk = run_cli("check", "--fielded", "--root", d2_root)
+    assert chk.returncode == 0, chk.stderr[-2000:]
+    rep = json.loads(chk.stdout.strip().splitlines()[-1])
+    assert rep["ok"] and rep["segments"] == 3
+
 
 def test_cli_serve_segment_chain(spark, tmp_path):
     """`serve --segments`: the whole stack is discovered from the

@@ -820,3 +820,65 @@ def test_compact_fielded_segments_equals_stack(spark, tmp_path):
         b = [(d, round(s, 9)) for d, s in stack.search(q, k=15)]
         assert a == b, (q, a[:3], b[:3])
     assert all(d != 6 for d, _ in flat.search("all:tokenize", k=100))
+
+
+def test_check_fielded_segments(spark, tmp_path):
+    """``check_fielded_segments`` validates every field's stack against
+    its merged statistics plus the equal-depth / shared-tombstone
+    invariants; a field whose chain link is severed must raise."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from limetrans_spark.plans import lifecycle as lc
+    from limetrans_spark.sources.corpus import synth_corpus
+
+    corpus = (
+        synth_corpus(spark, 80, partitions=2)
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long")
+            - 1,
+        )
+        .withColumn(
+            "title", F.array_join(F.slice(F.split(F.col("content"), " "), 1, 5), " ")
+        )
+        .persist()
+    )
+    FIELDS = {"title": ("title", "simple"), "body": ("content", "simple")}
+    COPY = {"title": ["all"]}
+    base_root = str(tmp_path / "base")
+    lc.save_fielded(
+        FL.build_fielded_sharded(corpus, FIELDS, copy_to=COPY, shard_size=32),
+        base_root, "x", "g1",
+    )
+    d1_root = str(tmp_path / "d1")
+    lc.publish_fielded_delta_segment(
+        spark, base_root,
+        corpus.where(F.col("doc_id") % 9 == 4).withColumn(
+            "title", F.lit("fchk fresh")
+        ),
+        d1_root, "x", "s1",
+        fields=FIELDS, copy_to=COPY,
+        deleted_ids=spark.createDataFrame([(3,)], "doc_id long"),
+    )
+
+    report = lc.check_fielded_segments(spark, d1_root)
+    assert report["ok"] and report["segments"] == 2
+    assert set(report["fields"]) == {"title", "body", "all"}
+    assert all(r["ok"] for r in report["fields"].values())
+    assert report["tombstone_mismatches"] == []
+
+    # sever one field's chain link -> unequal stack depths must raise
+    snap_name = lc.current_snapshot(_os.path.join(d1_root, "fields", "body"))
+    mpath = _os.path.join(
+        d1_root, "fields", "body", "snapshots", snap_name, "manifest.json"
+    )
+    with open(mpath) as f:
+        mani = _json.load(f)
+    del mani["metrics"]["segment_of"]
+    with open(mpath, "w") as f:
+        _json.dump(mani, f)
+    with pytest.raises(ValueError, match="depths differ"):
+        lc.check_fielded_segments(spark, d1_root)
