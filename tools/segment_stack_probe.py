@@ -176,12 +176,22 @@ def main(n_docs: int = 1_000_000) -> int:
             for t in ("id1x1", "stackfresh1", "stackfresh3", "stackfresh4")
         )
 
+        # checkIndex over the stack: recompute the final state's df/cf/
+        # N/Σdl from the segments' own postings (tombstone-aware walk)
+        # and compare against the chained exactly-merged statistics —
+        # the trust gate a lifecycle script would run before aliasing
+        chk, t_chk = timed(lambda: lc.check_segments(spark, snap))
+        res["check_segments_sec"] = round(t_chk, 2)
+        res["check_segments_ok"] = bool(chk["ok"])
+        log(f"check_segments {t_chk:.1f}s ok={chk['ok']}")
+
         res["noise_probe_sec"].append(noise_probe())
         res["ok"] = bool(
             res["rank_identical_vs_rebuild"]
             and res["superseded_erased"]
             and res["merged_df_exact"]
             and res["stack_depth"] == 5
+            and res["check_segments_ok"]
         )
         print(json.dumps(res))
         return 0 if res["ok"] else 1
