@@ -176,6 +176,11 @@ def _add_check(sub):
     p.add_argument("--fielded", action="store_true",
                    help="root is a save_fielded tree: check every "
                    "field's stack + the shared-tombstone invariant")
+    p.add_argument("--deep", action="store_true",
+                   help="also decode every compressed posting run in "
+                   "the serving artifact and validate the codec "
+                   "invariants (doc-id monotonicity, shard bounds, "
+                   "skip pointers, positions)")
 
 
 def _add_run(sub):
@@ -322,7 +327,9 @@ def main(argv: list[str] | None = None) -> int:
 
             try:
                 if args.fielded:
-                    report = lc.check_fielded_segments(spark, args.root)
+                    report = lc.check_fielded_segments(
+                        spark, args.root, deep=args.deep
+                    )
                 else:
                     snap_name = lc.current_snapshot(args.root)
                     if snap_name is None:
@@ -330,7 +337,8 @@ def main(argv: list[str] | None = None) -> int:
                             f"no current snapshot under {args.root}"
                         )
                     report = lc.check_index(
-                        spark, os.path.join(args.root, "snapshots", snap_name)
+                        spark, os.path.join(args.root, "snapshots", snap_name),
+                        deep=args.deep,
                     )
             except ValueError as e:
                 print(json.dumps({"ok": False, "error": str(e)}))

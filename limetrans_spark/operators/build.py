@@ -324,6 +324,109 @@ def term_stats(postings: DataFrame) -> DataFrame:
     ).withColumn("tlen", F.length("term").cast("int"))
 
 
+def deep_check_shards(shards: DataFrame, shard_size: int) -> dict:
+    """Decode EVERY compressed posting run in the serving artifact and
+    validate the codec invariants — the deep half of the Lucene-style
+    checkIndex (the flat-postings cross-check proves the STATISTICS;
+    this proves the BYTES the serving tier actually reads).  Per
+    (shard, term) run: varint streams consume exactly ``n`` (doc) /
+    ``n`` (tf) / ``Σtf`` (positions) values with no trailing garbage
+    (a varint's last byte has the high bit clear, so complete-value
+    count == count of bytes < 0x80), doc ids strictly increasing inside
+    ``[shard·S, (shard+1)·S)``, tf ≥ 1 with ``Σtf == sum_tf``, skip
+    pointers ``block_last`` / ``block_max_tf`` equal a recomputation
+    from the decoded arrays, and per-doc positions non-negative and
+    strictly increasing.  One distributed column-complete scan; the
+    Python loop is per RUN (vectorized NumPy inside), the same
+    accounting as the SPIMI writer itself.  Returns
+    ``{rows, postings, violations, first_bad}``."""
+    BS = codec.BLOCK_SIZE
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = len(pdf)
+            posts = 0
+            bad = 0
+            first_bad = None
+            for t in pdf.itertuples(index=False):
+                ok = True
+                try:
+                    n = int(t.n)
+                    shard = int(t.shard)
+                    db, tb = bytes(t.doc_blob), bytes(t.tf_blob)
+                    docs, tfs = codec.decode_postings(
+                        db, tb, n, base=shard * shard_size
+                    )
+                    posts += n
+                    lo, hi = shard * shard_size, (shard + 1) * shard_size
+                    ok = (
+                        n > 0
+                        and int(np.count_nonzero(np.frombuffer(db, np.uint8) < 128)) == n
+                        and int(np.count_nonzero(np.frombuffer(tb, np.uint8) < 128)) == n
+                        and bool((tfs >= 1).all())
+                        and bool((np.diff(docs) > 0).all())
+                        and lo <= int(docs[0])
+                        and int(docs[-1]) < hi
+                        and int(tfs.sum()) == int(t.sum_tf)
+                    )
+                    if ok:
+                        nb = (n + BS - 1) // BS
+                        idx = np.minimum(np.arange(1, nb + 1) * BS, n) - 1
+                        ok = np.array_equal(
+                            np.asarray(t.block_last, dtype=np.int64), docs[idx]
+                        ) and np.array_equal(
+                            np.asarray(t.block_max_tf, dtype=np.int64),
+                            np.maximum.reduceat(tfs, np.arange(0, n, BS)),
+                        )
+                    pb = bytes(t.pos_blob) if t.pos_blob is not None else b""
+                    if ok and pb:
+                        flat = np.concatenate(codec.decode_positions(pb, tfs))
+                        heads = np.cumsum(tfs) - tfs
+                        mask = np.ones(flat.size, dtype=bool)
+                        mask[heads] = False
+                        d = np.diff(flat)
+                        ok = (
+                            bool((flat >= 0).all())
+                            and bool((d[mask[1:]] > 0).all())
+                            and int(
+                                np.count_nonzero(np.frombuffer(pb, np.uint8) < 128)
+                            ) == int(tfs.sum())
+                        )
+                except Exception:
+                    ok = False
+                if not ok:
+                    bad += 1
+                    if first_bad is None:
+                        first_bad = f"shard={t.shard} term={t.term}"
+            yield pd.DataFrame(
+                {
+                    "rows": [rows],
+                    "postings": [posts],
+                    "violations": [bad],
+                    "first_bad": [first_bad],
+                }
+            )
+
+    agg = (
+        shards.mapInPandas(
+            scan, "rows long, postings long, violations long, first_bad string"
+        )
+        .agg(
+            F.sum("rows").alias("rows"),
+            F.sum("postings").alias("postings"),
+            F.sum("violations").alias("violations"),
+            F.max("first_bad").alias("first_bad"),
+        )
+        .collect()[0]
+    )
+    return {
+        "rows": int(agg["rows"] or 0),
+        "postings": int(agg["postings"] or 0),
+        "violations": int(agg["violations"] or 0),
+        "first_bad": agg["first_bad"],
+    }
+
+
 def skew_report(terms: DataFrame, n_docs: int, top: int = 20) -> list[dict]:
     """Top-DF terms + corpus share — the skew telemetry the north rule
     asks for (stopword-like code tokens, license boilerplate).  These are

@@ -848,7 +848,9 @@ def fielded_segment_chain(root: str) -> list[str]:
     return chain[::-1]
 
 
-def check_segments(spark: SparkSession, newest_snap: str) -> dict:
+def check_segments(
+    spark: SparkSession, newest_snap: str, deep: bool = False
+) -> dict:
     """CheckIndex analogue for a segment stack (the reference runs
     Lucene's checkIndex before trusting an index —
     ``ElasticsearchServer.java`` check/update mode): recompute the
@@ -856,7 +858,12 @@ def check_segments(spark: SparkSession, newest_snap: str) -> dict:
     (live-version walk: each segment minus the union of newer
     tombstones) and compare against the newest segment's exactly-merged
     statistics, and verify no doc id is live in two segments at once
-    (a missing tombstone).  Returns a report dict with ``ok``; raises
+    (a missing tombstone).  ``deep=True`` additionally decodes every
+    compressed posting run in EACH segment's shards artifact
+    (:func:`operators.build.deep_check_shards`) and cross-checks the
+    artifact's per-term totals against that segment's own flat postings
+    (pre-tombstone — the shards file stores the segment's contribution,
+    not the live view).  Returns a report dict with ``ok``; raises
     ``ValueError`` on any mismatch so lifecycle scripts fail loudly."""
     chain = segment_chain(newest_snap)
     if len(chain) < 2:
@@ -920,29 +927,70 @@ def check_segments(spark: SparkSession, newest_snap: str) -> dict:
         "term_stat_mismatches": int(stat_mismatches),
         "duplicate_live_docs": int(dup_docs),
     }
+    if deep:
+        from ..operators.build import deep_check_shards
+
+        per_seg = []
+        for seg in chain:
+            with open(os.path.join(seg, "manifest.json")) as f:
+                seg_size = int(json.load(f)["shard_size"])
+            shards = spark.read.parquet(os.path.join(seg, "shards"))
+            d = deep_check_shards(shards, seg_size)
+            own = (
+                spark.read.parquet(os.path.join(seg, "postings"))
+                .groupBy("term")
+                .agg(
+                    F.count("*").cast("long").alias("df_r"),
+                    F.sum("tf").cast("long").alias("cf_r"),
+                )
+            )
+            totals = shards.groupBy("term").agg(
+                F.sum("n").cast("long").alias("df_s"),
+                F.sum("sum_tf").cast("long").alias("cf_s"),
+            )
+            d["shard_stat_mismatches"] = (
+                own.join(totals, "term", "full")
+                .where(
+                    (F.coalesce("df_r", zero) != F.coalesce("df_s", zero))
+                    | (F.coalesce("cf_r", zero) != F.coalesce("cf_s", zero))
+                )
+                .count()
+            )
+            per_seg.append(d)
+        report["deep"] = {
+            "per_segment": per_seg,
+            "violations": sum(
+                d["violations"] + d["shard_stat_mismatches"] for d in per_seg
+            ),
+        }
     report["ok"] = (
         report["n_docs"] == report["n_docs_expected"]
         and report["sum_dl"] == report["sum_dl_expected"]
         and report["term_stat_mismatches"] == 0
         and report["duplicate_live_docs"] == 0
+        and (not deep or report["deep"]["violations"] == 0)
     )
     if not report["ok"]:
         raise ValueError(f"segment stack check failed: {report}")
     return report
 
 
-def check_index(spark: SparkSession, snap: str) -> dict:
+def check_index(spark: SparkSession, snap: str, deep: bool = False) -> dict:
     """checkIndex for ANY snapshot (the reference gates every publish on
     Lucene's checkIndex — ``ElasticsearchClient.java:204-209``): a
     segment stack delegates to :func:`check_segments`; a plain snapshot
     is verified self-consistently — per-term df/cf recomputed from the
-    postings parquet vs the published ``terms`` dictionary, and
-    N/avgdl recomputed from the docstore vs the manifest (avgdl via the
-    exact ``int64 sum ÷ once`` expression ``corpus_stats`` uses, so a
-    healthy snapshot matches bit-for-bit).  Raises ``ValueError`` on
-    any mismatch."""
+    postings parquet vs the published ``terms`` dictionary, the SERVING
+    artifact's per-term totals (``shards`` rows carry ``n``/``sum_tf``)
+    cross-checked against the same dictionary, and N/avgdl recomputed
+    from the docstore vs the manifest (avgdl via the exact ``int64 sum
+    ÷ once`` expression ``corpus_stats`` uses, so a healthy snapshot
+    matches bit-for-bit).  ``deep=True`` additionally decodes every
+    compressed posting run in the shards artifact and validates the
+    codec invariants (:func:`operators.build.deep_check_shards`).
+    Raises ``ValueError`` on any mismatch."""
     if len(segment_chain(snap)) > 1:
-        return check_segments(spark, snap)
+        return check_segments(spark, snap, deep=deep)
 
     post = spark.read.parquet(os.path.join(snap, "postings")).select(
         "term", "doc_id", "tf"
@@ -960,6 +1008,22 @@ def check_index(spark: SparkSession, snap: str) -> dict:
         .where(
             (F.coalesce("df", zero) != F.coalesce("df_r", zero))
             | (F.coalesce("cf", zero) != F.coalesce("cf_r", zero))
+        )
+        .count()
+    )
+    # serving-artifact cross-check: the shards rows carry per-run n /
+    # sum_tf, so per-term totals recompute without decoding any blob
+    # (column-pruned scan — doc/tf/pos blobs are never read here)
+    shards = spark.read.parquet(os.path.join(snap, "shards"))
+    shard_totals = shards.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df_s"),
+        F.sum("sum_tf").cast("long").alias("cf_s"),
+    )
+    shard_mismatches = (
+        terms.join(shard_totals, "term", "full")
+        .where(
+            (F.coalesce("df", zero) != F.coalesce("df_s", zero))
+            | (F.coalesce("cf", zero) != F.coalesce("cf_s", zero))
         )
         .count()
     )
@@ -983,20 +1047,29 @@ def check_index(spark: SparkSession, snap: str) -> dict:
         "avgdl": (int(doc_row["s"] or 0) / n if n else 0.0),
         "avgdl_expected": float(mani["avgdl"]),
         "term_stat_mismatches": int(stat_mismatches),
+        "shard_stat_mismatches": int(shard_mismatches),
         "duplicate_live_docs": n - int(doc_row["n_distinct"]),
     }
+    if deep:
+        from ..operators.build import deep_check_shards
+
+        report["deep"] = deep_check_shards(shards, int(mani["shard_size"]))
     report["ok"] = (
         report["n_docs"] == report["n_docs_expected"]
         and report["avgdl"] == report["avgdl_expected"]
         and report["term_stat_mismatches"] == 0
+        and report["shard_stat_mismatches"] == 0
         and report["duplicate_live_docs"] == 0
+        and (not deep or report["deep"]["violations"] == 0)
     )
     if not report["ok"]:
         raise ValueError(f"snapshot check failed: {report}")
     return report
 
 
-def check_fielded_segments(spark: SparkSession, newest_root: str) -> dict:
+def check_fielded_segments(
+    spark: SparkSession, newest_root: str, deep: bool = False
+) -> dict:
     """Fielded twin of :func:`check_index`: validate every field's
     snapshot stack independently (per-field df/cf/N/Σdl recomputation
     vs the published merged statistics), then the two invariants that
@@ -1019,7 +1092,7 @@ def check_fielded_segments(spark: SparkSession, newest_root: str) -> dict:
         if snap_name is None:
             raise ValueError(f"field {fname!r} has no current snapshot")
         snap = os.path.join(froot, "snapshots", snap_name)
-        reports[fname] = check_index(spark, snap)
+        reports[fname] = check_index(spark, snap, deep=deep)
         chains[fname] = segment_chain(snap)
 
     depths = {fname: len(c) for fname, c in chains.items()}

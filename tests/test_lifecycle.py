@@ -241,6 +241,35 @@ def test_check_segments_green_then_detects_corruption(spark, tmp_path):
     assert rep0["ok"] and rep0["segments"] == 1
     assert rep0["avgdl"] == rep0["avgdl_expected"]  # bit-equal, ÷-once
 
+    # deep: every compressed run in the serving artifact decodes clean
+    deep0 = lc.check_index(spark, base, deep=True)
+    assert deep0["deep"]["violations"] == 0 and deep0["deep"]["postings"] > 0
+
+    # blob-level corruption (truncate one doc_blob) is INVISIBLE to the
+    # stats checks (n/sum_tf unchanged) — only the deep decode sees it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(base, "shards")
+    tbl = pa.concat_tables(
+        pq.read_table(os.path.join(sdir, f)) for f in sorted(os.listdir(sdir))
+        if f.endswith(".parquet")
+    )
+    blobs = tbl.column("doc_blob").to_pylist()
+    victim = max(range(len(blobs)), key=lambda i: len(blobs[i]))
+    blobs[victim] = blobs[victim][:-1]
+    tampered = tbl.set_column(
+        tbl.schema.get_field_index("doc_blob"), "doc_blob",
+        pa.array(blobs, type=pa.binary()),
+    )
+    shutil.rmtree(sdir)
+    os.makedirs(sdir)
+    pq.write_table(tampered, os.path.join(sdir, "part-0.parquet"))
+    assert lc.check_index(spark, base)["ok"]  # stats-only check passes
+    with pytest.raises(ValueError, match="snapshot check failed"):
+        lc.check_index(spark, base, deep=True)
+    pq.write_table(tbl, os.path.join(sdir, "part-0.parquet"))  # restore
+
     # tamper the manifest doc count -> check_index must refuse
     mpath = os.path.join(base, "manifest.json")
     with open(mpath) as f:
@@ -275,6 +304,10 @@ def test_check_segments_green_then_detects_corruption(spark, tmp_path):
     assert report["term_stat_mismatches"] == 0
     assert report["duplicate_live_docs"] == 0
     assert report["n_docs"] == report["n_docs_expected"]
+
+    deep_stack = lc.check_segments(spark, d2, deep=True)
+    assert deep_stack["deep"]["violations"] == 0
+    assert len(deep_stack["deep"]["per_segment"]) == 3
 
     # corrupt the stack: drop d2's tombstones — the d1/base versions of
     # the updated docs (and deleted doc 5) become live again
