@@ -185,6 +185,21 @@ def main(n_docs: int = 1_000_000) -> int:
         res["check_segments_ok"] = bool(chk["ok"])
         log(f"check_segments {t_chk:.1f}s ok={chk['ok']}")
 
+        # deep mode decodes EVERY compressed run in all 5 segments'
+        # serving artifacts — checkIndex's postings-level scan
+        dchk, t_deep = timed(lambda: lc.check_segments(spark, snap, deep=True))
+        res["check_deep_sec"] = round(t_deep, 2)
+        res["check_deep_postings"] = sum(
+            d["postings"] for d in dchk["deep"]["per_segment"]
+        )
+        res["check_deep_ok"] = bool(
+            dchk["ok"] and dchk["deep"]["violations"] == 0
+        )
+        log(
+            f"deep check {t_deep:.1f}s, {res['check_deep_postings']} "
+            f"postings decoded, ok={res['check_deep_ok']}"
+        )
+
         res["noise_probe_sec"].append(noise_probe())
         res["ok"] = bool(
             res["rank_identical_vs_rebuild"]
@@ -192,6 +207,7 @@ def main(n_docs: int = 1_000_000) -> int:
             and res["merged_df_exact"]
             and res["stack_depth"] == 5
             and res["check_segments_ok"]
+            and res["check_deep_ok"]
         )
         print(json.dumps(res))
         return 0 if res["ok"] else 1
