@@ -191,6 +191,7 @@ def stream_segment_updates(
     name: str = "stream",
     text_col: str = "content",
     deleted_col: str | None = None,
+    max_depth: int | None = None,
 ):
     """foreachBatch SEGMENT publisher — the streaming twin of
     :func:`plans.lifecycle.publish_delta_segment`: every micro-batch is
@@ -213,9 +214,20 @@ def stream_segment_updates(
     they tombstone + remove statistics without contributing a delta
     doc — the streaming deletionLiteral flow.
 
-    Depth is bounded by the caller's compaction cadence: between runs,
-    fold with :func:`plans.lifecycle.compact_segments` on the head and
-    point ``set_stream_head`` at the compacted snapshot."""
+    Depth is bounded either by the caller's compaction cadence (between
+    runs, fold with :func:`plans.lifecycle.compact_segments` on the
+    head and point ``set_stream_head`` at the compacted snapshot), or
+    automatically by ``max_depth`` — the Lucene merge-policy analogue:
+    when a publish leaves the chain longer than ``max_depth`` segments,
+    the stack is folded into a fresh positional base
+    (``root/compact-b<batch_id>``) and the head repointed at it, all
+    inside the trigger, so the served chain never exceeds
+    ``max_depth``.  Crash-safety is unchanged: the head file is written
+    atomically only AFTER the fold publishes, so a crash mid-compaction
+    leaves the (correct, merely deeper) delta chain as the head, and
+    the replayed batch id dedupe still holds.  Absorbed segment roots
+    are left on disk — a serving replica may still hold them open;
+    prune them once nothing serves the pre-compaction chain."""
     import json as _json
     import os as _os
 
@@ -251,6 +263,15 @@ def stream_segment_updates(
             text_col=text_col,
             deleted_ids=deleted,
         )
+        if max_depth is not None and len(lc.segment_chain(snap)) > max_depth:
+            snap = lc.compact_segments(
+                batch_df.sparkSession,
+                snap,
+                _os.path.join(root, f"compact-b{batch_id}"),
+                name,
+                f"c{batch_id}",
+                text_col=text_col,
+            )
         tmp = head_file + ".tmp"
         with open(tmp, "w") as f:
             _json.dump({"snap": snap, "batch_id": batch_id}, f)

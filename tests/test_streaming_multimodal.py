@@ -527,3 +527,83 @@ def test_stream_segment_updates(spark, tmp_path):
     assert [d for d, _ in hits] == [4]
     assert [d for d, _ in seg2.search("streamseg", k=5)] == [1, 3] or \
            {d for d, _ in seg2.search("streamseg", k=5)} == {1, 3}
+
+
+def test_stream_segment_auto_compaction(spark, tmp_path):
+    """``max_depth`` merge policy: when a trigger leaves the chain
+    deeper than the bound, the stack folds into a fresh base inside the
+    trigger — the served head never exceeds ``max_depth`` segments and
+    stays bit-identical to a batch rebuild over the cumulative state."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.operators.serve import LocalSearcher, SegmentedSearcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "segroot")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon zeta")],
+        "doc_id long, content string",
+    )
+    base_snap = lc.save_index(
+        build_index(base, shard_size=16), str(tmp_path / "base"), "s", "g1"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        q = ingest.stream_segment_updates(
+            stream, base_snap, root, ckpt, max_depth=2
+        )
+        q.awaitTermination(180)
+
+    _write_jsonl(f"{landing}/b0.jsonl", [
+        {"doc_id": 1, "content": "autocompact one"},
+        {"doc_id": 3, "content": "autocompact appended"},
+    ])
+    _write_jsonl(f"{landing}/b1.jsonl", [
+        {"doc_id": 3, "content": "autocompact two"},
+    ])
+    _write_jsonl(f"{landing}/b2.jsonl", [
+        {"doc_id": 4, "content": "autocompact three"},
+    ])
+    run_stream()
+
+    head = ingest.stream_head(root)
+    chain = lc.segment_chain(head)
+    assert len(chain) <= 2  # b1's publish hit depth 3 -> folded, b2 chains
+    # the fold happened at batch 1 and published without a segment_of link
+    cbase = chain[0]
+    assert "compact-b1" in cbase
+    with open(_os.path.join(cbase, "manifest.json")) as f:
+        assert "segment_of" not in (_json.load(f).get("metrics") or {})
+
+    final = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "autocompact one"), (2, "epsilon zeta"),
+         (3, "autocompact two"), (4, "autocompact three")],
+        "doc_id long, content string",
+    )
+    full = LocalSearcher.from_index(build_index(final, shard_size=16))
+    seg = SegmentedSearcher.from_chain(head)
+    for q in ["autocompact", "alpha | zeta", "autocompact -three",
+              '"autocompact two"']:
+        a = [(d, round(s, 9)) for d, s in full.search(q, k=10)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=10)]
+        assert a == b, (q, a, b)
+
+    # the checker trusts the folded head too (plain-or-stack dispatch)
+    assert lc.check_index(spark, head, deep=True)["ok"]
