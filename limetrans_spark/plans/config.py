@@ -497,15 +497,28 @@ def run_config(spark: SparkSession, config_path: str | Path,
                 ).alias("record_id"),
                 F.col("content"),
             )
+            # "update": true is the reference's update mode — the build
+            # must land in the CURRENT generation of an existing index
+            # and fails fast otherwise (checkIndex,
+            # ElasticsearchClient.java:92,110-112,204-209)
             rep = lc.build_and_publish(
                 corpus, root=root, name=name, generation=generation,
                 keys=("record_id",), analyzer=es.get("analyzer", "simple"),
+                update=bool(es.get("update", False)),
             )
             report["outputs"]["index"] = {
                 "root": root, "name": name,
                 "snapshot": rep.snapshot,
                 "docs": rep.index.n_docs,
             }
+            # engine extension: "checkIndex": true|"deep" runs the
+            # post-publish self-check (stats cross-checks; "deep" also
+            # decodes every compressed run) before the run reports ok
+            chk = es.get("checkIndex")
+            if chk:
+                report["outputs"]["index"]["check"] = lc.check_index(
+                    spark, rep.snapshot, deep=(chk == "deep")
+                )
     finally:
         if multiple_sinks:
             records.unpersist()

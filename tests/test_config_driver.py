@@ -200,3 +200,46 @@ def test_config_index_sink(spark, tmp_path):
         .select("record_id").collect()[0][0]
     )
     assert top_key == "946638705"
+
+
+@needs_reference
+def test_config_index_update_mode_and_check(spark, tmp_path):
+    """output.elasticsearch "update": true is the reference's update
+    mode (must land in the CURRENT generation, fail fast when absent —
+    checkIndex); "checkIndex" runs the post-publish self-check and the
+    report carries its result."""
+    base = {
+        "input": {"queue": {
+            "path": str(REF / "main/src/test/resources/limetrans/input"),
+            "pattern": "10.marc21",
+            "processor": "MARC21",
+        }},
+        "transformation-rules": str(
+            REF / "main/src/test/resources/limetrans/rules/noop%s"
+        ),
+        "output": {"elasticsearch": {
+            "embeddedPath": str(tmp_path / "es"),
+            "index": {"name": "titel", "timewindow": "g1"},
+            "update": True,
+        }},
+    }
+    p = tmp_path / "upd.json"
+    p.write_text(json.dumps(base))
+    # update mode against a missing index fails fast (checkIndex)
+    with pytest.raises(FileNotFoundError, match="checkIndex"):
+        run_config(spark, p)
+
+    # create first (no update), with the post-publish self-check on
+    create = json.loads(p.read_text())
+    es = create["output"]["elasticsearch"]
+    es["update"] = False
+    es["checkIndex"] = "deep"
+    (tmp_path / "create.json").write_text(json.dumps(create))
+    rep1 = run_config(spark, tmp_path / "create.json")
+    assert rep1["ok"] and rep1["outputs"]["index"]["check"]["ok"]
+    assert rep1["outputs"]["index"]["check"]["deep"]["violations"] == 0
+
+    # now update mode lands in the existing g1 generation
+    rep2 = run_config(spark, p)
+    assert rep2["ok"]
+    assert rep2["outputs"]["index"]["snapshot"] == rep1["outputs"]["index"]["snapshot"]
