@@ -106,7 +106,12 @@ def _add_serve(sub):
     )
     p.add_argument("--root", required=True, help="index root (or save_fielded root)")
     p.add_argument("--snapshot", default=None, help="snapshot name (default: alias)")
-    p.add_argument("--query", required=True)
+    p.add_argument("--query", default=None)
+    p.add_argument(
+        "--get-doc", type=int, default=None, metavar="DOC_ID",
+        help="getDocument point lookup instead of a search: print the "
+        "document row as JSON (tombstoned/absent ids print null)",
+    )
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--fielded", action="store_true", help="root is a save_fielded tree")
     p.add_argument("--default-field", default="all")
@@ -217,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
 
         from .operators.serve import LocalSearcher
 
+        if (args.query is None) == (args.get_doc is None):
+            print(json.dumps(
+                {"ok": False, "error": "serve needs exactly one of --query / --get-doc"}
+            ))
+            return 2
+
         if args.fielded:
             from .operators.fielded import LocalFieldedSharded, SegmentedFielded
 
@@ -228,10 +239,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:
                 repl = LocalFieldedSharded.from_snapshot(args.root)
-            hits = repl.search(
-                args.query, k=args.k, default_field=args.default_field,
-                unordered_slop=args.unordered_slop,
-            )
+            if args.get_doc is None:
+                hits = repl.search(
+                    args.query, k=args.k, default_field=args.default_field,
+                    unordered_slop=args.unordered_slop,
+                )
         elif args.segment_base or args.segments:
             from .operators.serve import SegmentedSearcher
 
@@ -242,14 +254,15 @@ def main(argv: list[str] | None = None) -> int:
                 return os.path.join(root, "snapshots", snap)
 
             if args.segments:
-                seg = SegmentedSearcher.from_chain(_resolve(args.root))
+                repl = SegmentedSearcher.from_chain(_resolve(args.root))
             else:
-                seg = SegmentedSearcher.from_snapshots(
+                repl = SegmentedSearcher.from_snapshots(
                     _resolve(args.segment_base), _resolve(args.root)
                 )
-            hits = seg.search(
-                args.query, k=args.k, unordered_slop=args.unordered_slop
-            )
+            if args.get_doc is None:
+                hits = repl.search(
+                    args.query, k=args.k, unordered_slop=args.unordered_slop
+                )
         else:
             snap_name = args.snapshot or lc.current_snapshot(args.root)
             if snap_name is None:
@@ -257,12 +270,16 @@ def main(argv: list[str] | None = None) -> int:
             subset = (
                 [int(s) for s in args.shards.split(",")] if args.shards else None
             )
-            searcher = LocalSearcher.from_snapshot(
+            repl = LocalSearcher.from_snapshot(
                 os.path.join(args.root, "snapshots", snap_name), shard_subset=subset
             )
-            hits = searcher.search(
-                args.query, k=args.k, unordered_slop=args.unordered_slop
-            )
+            if args.get_doc is None:
+                hits = repl.search(
+                    args.query, k=args.k, unordered_slop=args.unordered_slop
+                )
+        if args.get_doc is not None:
+            print(json.dumps(repl.get_document(args.get_doc), default=repr))
+            return 0
         for d, s in hits:
             print(json.dumps({"doc_id": d, "score": round(s, 6)}))
         return 0

@@ -1150,6 +1150,30 @@ class LocalFieldedSharded:
                     searchers[fname].override_stats(tdf, n, avg)
         return cls(searchers, exclude_docs=exclude_docs)
 
+    def get_document(self, doc_id: int) -> "dict | None":
+        """Spark-free multi-field point lookup (getDocument): each
+        declared field's docstore carries that field's source column
+        under ``content``, so gathering the per-field rows for one
+        doc_id recovers the document as ``{field: text}``.  copy_to
+        TARGETS are derived fields — their docstores carry no source
+        text — so content-less fields are omitted (the same
+        declared-fields-only rule ``compact_fielded_segments`` uses to
+        reconstruct corpus rows).  Every per-field read is a pushed
+        doc_id-equality predicate against that field's docstore parquet
+        — row-group pruned, no full load.  Tombstoned (superseded) docs
+        answer ``None``."""
+        d = int(doc_id)
+        if self._exclude is not None:
+            i = int(np.searchsorted(self._exclude, d))
+            if i < self._exclude.size and self._exclude[i] == d:
+                return None
+        row = {}
+        for fname in sorted(self.searchers):
+            r = self.searchers[fname].get_document(d)
+            if r is not None and r.get("content") is not None:
+                row[fname] = r["content"]
+        return row or None
+
     # -- per-clause doc arrays over one field's searcher --------------------
     # sorted-unique int64 arrays end to end: building Python sets of doc
     # ids cost ~100 ms per high-df clause at 1M docs
@@ -1387,6 +1411,18 @@ class SegmentedFielded:
                 for i, r in enumerate(roots)
             )
         )
+
+    def get_document(self, doc_id: int) -> "dict | None":
+        """Point lookup across the fielded stack: a doc's live version
+        is in the newest tree that holds it (older trees exclude the
+        union of newer tombstones), so the newest-first walk returns
+        exactly the rebuilt tree's ``{field: text}`` row, or ``None``
+        for deleted ids."""
+        for s in reversed(self.searchers):
+            row = s.get_document(doc_id)
+            if row is not None:
+                return row
+        return None
 
     @classmethod
     def from_snapshots(

@@ -205,6 +205,16 @@ def test_cli_serve_sparkless(corpus_path, tmp_path_factory):
     duno = {json.loads(l)["doc_id"] for l in unordered.stdout.strip().splitlines() if l.startswith("{")}
     assert dord <= duno and dord
 
+    # getDocument point lookup, Spark-free
+    gd = run_cli("serve", "--root", root, "--get-doc", "0")
+    assert gd.returncode == 0, gd.stderr[-2000:]
+    row = json.loads(gd.stdout.strip().splitlines()[-1])
+    assert row["doc_id"] == 0 and row["content"]
+    assert "SparkContext" not in gd.stderr
+    # exactly one of --query / --get-doc
+    both = run_cli("serve", "--root", root, "--query", "x", "--get-doc", "0")
+    assert both.returncode == 2
+
 
 def test_cli_serve_segment(spark, tmp_path):
     """`serve --segment-base`: Spark-free serving over base + delta
@@ -302,6 +312,20 @@ def test_cli_serve_fielded_segment(spark, tmp_path):
     assert chk.returncode == 0, chk.stderr[-2000:]
     rep = json.loads(chk.stdout.strip().splitlines()[-1])
     assert rep["ok"] and rep["segments"] == 3
+
+    # fielded getDocument across the stack: doc 3 was re-updated in d2
+    gd = run_cli(
+        "serve", "--fielded", "--root", d2_root, "--segments",
+        "--get-doc", "3",
+    )
+    assert gd.returncode == 0, gd.stderr[-2000:]
+    row = json.loads(gd.stdout.strip().splitlines()[-1])
+    assert row["title"] == "fcliseg2 again"
+    gone = run_cli(
+        "serve", "--fielded", "--root", d2_root, "--segments",
+        "--get-doc", "999999",
+    )
+    assert json.loads(gone.stdout.strip().splitlines()[-1]) is None
 
 
 def test_cli_serve_segment_chain(spark, tmp_path):

@@ -870,6 +870,18 @@ def test_check_fielded_segments(spark, tmp_path):
     assert all(r["ok"] for r in report["fields"].values())
     assert report["tombstone_mismatches"] == []
 
+    # fielded getDocument: newest-first walk reconstructs {field: text}
+    seg = FL.SegmentedFielded.from_chain(d1_root)
+    assert seg.get_document(3) is None  # deleted
+    upd = seg.get_document(4)  # re-published in the delta
+    orig4 = corpus.where(F.col("doc_id") == 4).collect()[0]
+    # copy_to target "all" is derived (no source text) -> omitted
+    assert upd == {"title": "fchk fresh", "body": orig4["content"]}
+    keep = seg.get_document(5)  # untouched: served from the base tree
+    orig5 = corpus.where(F.col("doc_id") == 5).collect()[0]
+    assert keep == {"title": orig5["title"], "body": orig5["content"]}
+    assert seg.get_document(10**9) is None
+
     # sever one field's chain link -> unequal stack depths must raise
     snap_name = lc.current_snapshot(_os.path.join(d1_root, "fields", "body"))
     mpath = _os.path.join(
