@@ -682,12 +682,18 @@ def _publish_segment_of(
     sum2 = s_prev - rm_s + int(d_row["s"] or 0)
     avgdl2 = sum2 / n2 if n2 else 0.0  # same expression as corpus_stats
 
+    # publish=False + explicit alias swap: save_index's empty-build
+    # guard is right for FULL builds but a DELETION-ONLY delta segment
+    # (0 delta docs, tombstones only) is legitimate and must still
+    # become the field root's current snapshot — the fielded publishers
+    # and the checker resolve segments through the alias
     snap = save_index(
         delta_idx,
         root,
         name,
         generation,
         retain=retain,
+        publish=False,
         extra_metrics={
             "segment_of": prev_snap,
             "merged_n_docs": n2,
@@ -695,6 +701,8 @@ def _publish_segment_of(
             "merged_sum_dl": sum2,
         },
     )
+    switch_alias(root, f"{name}-{generation}")
+    retain_snapshots(root, retain)
     merged.repartitionByRange("term").sortWithinPartitions("term").write.mode(
         "overwrite"
     ).parquet(os.path.join(snap, "merged_terms"))

@@ -285,6 +285,115 @@ def stream_segment_updates(
     )
 
 
+def stream_fielded_segment_updates(
+    stream: DataFrame,
+    base_root: str,
+    root: str,
+    checkpoint_dir: str,
+    fields: dict,
+    copy_to: dict | None = None,
+    target_analyzers: dict | None = None,
+    name: str = "stream",
+    deleted_col: str | None = None,
+    max_depth: int | None = None,
+):
+    """Fielded twin of :func:`stream_segment_updates`: every micro-batch
+    lands as ONE per-field delta tree
+    (:func:`plans.lifecycle.publish_fielded_delta_segment` — same
+    ``fields``/``copy_to``/``target_analyzers`` config the base
+    ``save_fielded`` tree was built with) chained against the current
+    fielded head (``FIELDED_STREAM_HEAD.json`` under ``root``, written
+    atomically AFTER a successful publish; replayed batch ids are
+    skipped), so ``SegmentedFielded.from_chain`` over the head answers
+    bit-identically to a fielded rebuild over the cumulative stream
+    state after every trigger.  ``deleted_col`` marks deletion records
+    (shared doc-level tombstone, no delta docs).  ``max_depth`` is the
+    merge policy: a trigger that leaves the chain deeper folds it with
+    :func:`plans.lifecycle.compact_fielded_segments` into a fresh tree
+    inside the trigger, exactly as the flat path does."""
+    import json as _json
+    import os as _os
+
+    from ..plans import lifecycle as lc
+
+    head_file = _os.path.join(root, "FIELDED_STREAM_HEAD.json")
+
+    def read_head() -> dict:
+        if _os.path.exists(head_file):
+            with open(head_file) as f:
+                return _json.load(f)
+        return {"root": base_root, "batch_id": -1}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        head = read_head()
+        if batch_id <= head["batch_id"]:
+            return  # replay of an already-absorbed batch
+        deleted = None
+        if deleted_col is not None and deleted_col in batch_df.columns:
+            deleted = batch_df.where(F.col(deleted_col)).select("doc_id")
+            batch_df = batch_df.where(
+                ~F.coalesce(F.col(deleted_col), F.lit(False))
+            )
+        tree = _os.path.join(root, f"seg-b{batch_id}")
+        lc.publish_fielded_delta_segment(
+            batch_df.sparkSession,
+            head["root"],
+            batch_df.drop(*([deleted_col] if deleted_col in batch_df.columns else [])),
+            tree,
+            name,
+            f"b{batch_id}",
+            fields=fields,
+            copy_to=copy_to,
+            target_analyzers=target_analyzers,
+            deleted_ids=deleted,
+        )
+        if (
+            max_depth is not None
+            and len(lc.fielded_segment_chain(tree)) > max_depth
+        ):
+            compacted = _os.path.join(root, f"compact-b{batch_id}")
+            lc.compact_fielded_segments(
+                batch_df.sparkSession,
+                tree,
+                compacted,
+                name,
+                f"c{batch_id}",
+                fields=fields,
+                copy_to=copy_to,
+                target_analyzers=target_analyzers,
+            )
+            tree = compacted
+        tmp = head_file + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"root": tree, "batch_id": batch_id}, f)
+        _os.replace(tmp, head_file)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fielded_stream_head(root: str, base_root: str | None = None) -> str:
+    """Current chain-head fielded tree of a
+    :func:`stream_fielded_segment_updates` root (falls back to
+    ``base_root`` before the first absorb)."""
+    import json as _json
+    import os as _os
+
+    head_file = _os.path.join(root, "FIELDED_STREAM_HEAD.json")
+    if _os.path.exists(head_file):
+        with open(head_file) as f:
+            return _json.load(f)["root"]
+    if base_root is None:
+        raise FileNotFoundError(f"no FIELDED_STREAM_HEAD.json under {root}")
+    return base_root
+
+
 def stream_head(root: str, base_snap: str | None = None) -> str:
     """Current chain-head snapshot of a :func:`stream_segment_updates`
     root (falls back to ``base_snap`` before the first absorb)."""

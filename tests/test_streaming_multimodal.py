@@ -607,3 +607,101 @@ def test_stream_segment_auto_compaction(spark, tmp_path):
 
     # the checker trusts the folded head too (plain-or-stack dispatch)
     assert lc.check_index(spark, head, deep=True)["ok"]
+
+
+def test_stream_fielded_segment_updates(spark, tmp_path):
+    """Fielded streaming ingestion: micro-batches land as per-field
+    delta trees chained on FIELDED_STREAM_HEAD; deletions tombstone all
+    fields; max_depth folds the stack inside the trigger; the served
+    head is bit-identical to a fielded rebuild over the final state."""
+    from pyspark.sql import types as T
+
+    from limetrans_spark.operators import fielded as FL
+    from limetrans_spark.plans import lifecycle as lc
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "froot")
+    ckpt = str(tmp_path / "ckpt")
+    FIELDS = {"title": ("title", "simple"), "body": ("body", "simple")}
+    COPY = {"title": ["all"]}
+
+    base = spark.createDataFrame(
+        [(0, "red fox", "jumps high"), (1, "blue bird", "sings loud"),
+         (2, "green frog", "swims far")],
+        "doc_id long, title string, body string",
+    )
+    base_root = str(tmp_path / "base")
+    lc.save_fielded(
+        FL.build_fielded_sharded(base, FIELDS, copy_to=COPY, shard_size=16),
+        base_root, "s", "g1",
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        q = ingest.stream_fielded_segment_updates(
+            stream, base_root, root, ckpt,
+            fields=FIELDS, copy_to=COPY, deleted_col="deleted",
+            max_depth=2,
+        )
+        q.awaitTermination(240)
+
+    _write_jsonl(f"{landing}/b0.jsonl", [
+        {"doc_id": 1, "title": "fstream bird", "body": "sings loud",
+         "deleted": False},
+        {"doc_id": 3, "title": "fstream newdoc", "body": "flies away",
+         "deleted": False},
+    ])
+    _write_jsonl(f"{landing}/b1.jsonl", [
+        {"doc_id": 0, "title": None, "body": None, "deleted": True},
+    ])
+    _write_jsonl(f"{landing}/b2.jsonl", [
+        {"doc_id": 3, "title": "fstream renamed", "body": "flies away",
+         "deleted": False},
+    ])
+    run_stream()
+
+    head = ingest.fielded_stream_head(root)
+    chain = lc.fielded_segment_chain(head)
+    assert len(chain) <= 2  # b1 left depth 3 -> folded inside the trigger
+    assert "compact-b1" in chain[0]
+
+    final = spark.createDataFrame(
+        [(1, "fstream bird", "sings loud"), (2, "green frog", "swims far"),
+         (3, "fstream renamed", "flies away")],
+        "doc_id long, title string, body string",
+    )
+    re_root = str(tmp_path / "re")
+    lc.save_fielded(
+        FL.build_fielded_sharded(final, FIELDS, copy_to=COPY, shard_size=16),
+        re_root, "s", "g2",
+    )
+    rebuilt = FL.LocalFieldedSharded.from_snapshot(re_root)
+    seg = (
+        FL.SegmentedFielded.from_chain(head)
+        if len(chain) > 1 else FL.LocalFieldedSharded.from_snapshot(head)
+    )
+    for q in ["title:fstream", "all:bird", "body:flies",
+              "title:fstream body:loud", "all:fox"]:
+        a = [(d, round(s, 9)) for d, s in rebuilt.search(q, k=10)]
+        b = [(d, round(s, 9)) for d, s in seg.search(q, k=10)]
+        assert a == b, (q, a, b)
+    assert seg.get_document(0) is None
+    assert seg.get_document(3)["title"] == "fstream renamed"
+
+    # replay safety: re-running with no new files changes nothing
+    run_stream()
+    assert ingest.fielded_stream_head(root) == head
+
+    # the fielded checker trusts the head tree
+    assert lc.check_fielded_segments(spark, head)["ok"]
