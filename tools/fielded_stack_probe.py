@@ -216,11 +216,21 @@ def main(n_docs: int = 1_000_000) -> int:
         )
         log(f"fielded compact {t_cc:.1f}s")
 
+        # fielded checkIndex: every field's stack vs its merged stats
+        # plus the equal-depth / shared-tombstone invariants
+        chk, t_chk = timed(
+            lambda: lc.check_fielded_segments(spark, os.path.join(root, "d2"))
+        )
+        res["check_fielded_sec"] = round(t_chk, 2)
+        res["check_fielded_ok"] = bool(chk["ok"])
+        log(f"check_fielded_segments {t_chk:.1f}s ok={chk['ok']}")
+
         res["noise_probe_sec"].append(noise_probe())
         res["ok"] = bool(
             res["rank_identical_vs_rebuild"]
             and res["merged_df_exact"]
             and res["compact_rank_identical"]
+            and res["check_fielded_ok"]
         )
         print(json.dumps(res))
         return 0 if res["ok"] else 1
