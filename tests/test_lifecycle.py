@@ -314,3 +314,75 @@ def test_check_segments_green_then_detects_corruption(spark, tmp_path):
     shutil.rmtree(os.path.join(d2, "tombstones"))
     with pytest.raises(ValueError, match="segment stack check failed"):
         lc.check_segments(spark, d2)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_segment_stack_random_sequences_equal_rebuild(spark, tmp_path, seed):
+    """Randomized stack-equivalence: a seeded random sequence of update/
+    append/delete batches published as chained delta segments must serve
+    bit-identically to one rebuild over the final state, for every query
+    shape, and pass the deep checker."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from limetrans_spark.operators.serve import LocalSearcher, SegmentedSearcher
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+
+    state = {i: text() for i in range(60)}
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in state.items()], "doc_id long, content string"
+    )
+    snap = lc.save_index(
+        build_index(corpus, text_col="content", shard_size=16),
+        str(tmp_path / "base"), "r", "g1",
+    )
+    next_id = 60
+    for rnd in range(3):
+        upd_ids = rng.sample(sorted(state), k=rng.randint(1, 8))
+        new_ids = list(range(next_id, next_id + rng.randint(0, 3)))
+        next_id += len(new_ids)
+        batch = {i: text() for i in upd_ids + new_ids}
+        live = [i for i in sorted(state) if i not in batch]
+        del_ids = rng.sample(live, k=rng.randint(0, 2))
+        state.update(batch)
+        for i in del_ids:
+            del state[i]
+        snap = lc.publish_delta_segment(
+            spark, snap,
+            spark.createDataFrame(
+                list(batch.items()), "doc_id long, content string"
+            ),
+            str(tmp_path / f"d{rnd}"), "r", f"s{rnd}",
+            deleted_ids=(
+                spark.createDataFrame([(i,) for i in del_ids], "doc_id long")
+                if del_ids else None
+            ),
+        )
+
+    rebuilt = lc.save_index(
+        build_index(
+            spark.createDataFrame(
+                list(state.items()), "doc_id long, content string"
+            ),
+            text_col="content", shard_size=16,
+        ),
+        str(tmp_path / "re"), "r", "g2",
+    )
+    stack = SegmentedSearcher.from_chain(snap)
+    flat = LocalSearcher.from_snapshot(rebuilt)
+    queries = [
+        "w0 w1", "w2 | w3", "w4 -w5", '"w6 w7"', '"w1 w2"~2', "w*", "w1~1",
+        rng.choice(vocab),
+    ]
+    for q in queries:
+        a = [(d, round(s, 9)) for d, s in flat.search(q, k=200)]
+        b = [(d, round(s, 9)) for d, s in stack.search(q, k=200)]
+        assert a == b, (seed, q, a[:3], b[:3])
+    assert lc.check_segments(spark, snap, deep=True)["ok"]
