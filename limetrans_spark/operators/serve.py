@@ -881,3 +881,83 @@ def _edit_le(a: str, b: str, k: int) -> bool:
         if best > k:
             return False
     return dp[-1] <= k
+
+
+class SnapshotWatcher:
+    """Serving-replica hot swap — the replica-side half of the
+    reference's alias-swap/refresh flow (``switchIndex`` +
+    ``refreshInterval``, ``ElasticsearchClient.java``): wrap a
+    :meth:`LocalSearcher.from_snapshot` replica and follow the index
+    root's alias as publishes move it.  ``refresh()`` is one
+    ``os.stat`` of the alias file (sub-µs when unchanged); when the
+    alias mtime moved, the NEW searcher is built completely before the
+    reference is swapped, so concurrent readers always see a fully
+    loaded index (the same build-then-rename discipline the publisher
+    uses on disk).  ``auto=True`` folds the stat into every
+    ``search``/``get_document`` call — at ~1 µs per check this is
+    noise next to a 0.3 ms query, and a replica then needs no
+    out-of-band reload signal at all."""
+
+    def __init__(
+        self,
+        root: str,
+        shard_subset: "list[int] | None" = None,
+        cache_budget_bytes: int = 1 << 30,
+        auto: bool = True,
+    ):
+        import os as _os
+
+        self.root = root
+        self.shard_subset = shard_subset
+        self.cache_budget_bytes = cache_budget_bytes
+        self.auto = auto
+        self._alias = _os.path.join(root, "manifest.json")
+        self._open()
+
+    def _open(self) -> None:
+        import os as _os
+
+        from ..plans.lifecycle import current_snapshot
+
+        # stat BEFORE reading the alias: if a publish lands between the
+        # stat and the open, the stale mtime just triggers one harmless
+        # re-open on the next refresh
+        try:
+            self._alias_mtime = _os.stat(self._alias).st_mtime_ns
+        except FileNotFoundError:
+            self._alias_mtime = None
+        snap = current_snapshot(self.root)
+        if snap is None:
+            raise FileNotFoundError(f"no current snapshot under {self.root}")
+        self.snapshot = snap
+        self.searcher = LocalSearcher.from_snapshot(
+            _os.path.join(self.root, "snapshots", snap),
+            shard_subset=self.shard_subset,
+            cache_budget_bytes=self.cache_budget_bytes,
+        )
+
+    def refresh(self) -> bool:
+        """Re-open if the alias moved; returns True when a swap
+        happened.  Cheap enough to call on every request."""
+        import os as _os
+
+        try:
+            mtime = _os.stat(self._alias).st_mtime_ns
+        except FileNotFoundError:
+            return False
+        if mtime == self._alias_mtime:
+            return False
+        # re-open even when the snapshot NAME is unchanged: update mode
+        # republishes the same generation with fresh artifacts
+        self._open()
+        return True
+
+    def search(self, *args, **kwargs):
+        if self.auto:
+            self.refresh()
+        return self.searcher.search(*args, **kwargs)
+
+    def get_document(self, doc_id: int):
+        if self.auto:
+            self.refresh()
+        return self.searcher.get_document(doc_id)

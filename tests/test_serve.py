@@ -369,3 +369,47 @@ def test_serving_get_document(spark, tmp_path):
     assert seg.get_document(7)["content"] == "getdoc fresh"
     assert seg.get_document(9) is None          # deleted
     assert seg.get_document(3)["content"] == want["content"]  # untouched
+
+
+def test_snapshot_watcher_follows_alias(spark, tmp_path):
+    """SnapshotWatcher: a replica follows the alias as publishes move it
+    — auto mode swaps in the new generation on the next call, the swap
+    is build-then-replace (never a half-loaded index), and an unchanged
+    alias is a no-op refresh."""
+    import time as _time
+
+    from limetrans_spark.operators.build import build_index
+    from limetrans_spark.operators.serve import SnapshotWatcher
+    from limetrans_spark.plans import lifecycle as lc
+
+    root = str(tmp_path / "watchroot")
+    g1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma alpha")], "doc_id long, content string"
+    )
+    lc.save_index(build_index(g1, shard_size=16), root, "w", "g1")
+    w = SnapshotWatcher(root)
+    assert w.snapshot == "w-g1"
+    assert {d for d, _ in w.search("alpha", k=10)} == {0, 1}
+    assert w.refresh() is False  # unchanged alias: no-op
+
+    _time.sleep(0.01)  # ensure a distinct alias mtime
+    g2 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha fresh")],
+        "doc_id long, content string",
+    )
+    lc.save_index(build_index(g2, shard_size=16), root, "w", "g2")
+    # auto mode: the very next search serves generation 2
+    assert {d for d, _ in w.search("alpha", k=10)} == {0, 2}
+    assert w.snapshot == "w-g2"
+    assert w.get_document(2)["content"] == "alpha fresh"
+
+    # manual mode: stale until refresh() is called
+    m = SnapshotWatcher(root, auto=False)
+    _time.sleep(0.01)
+    g3 = spark.createDataFrame(
+        [(5, "alpha only")], "doc_id long, content string"
+    )
+    lc.save_index(build_index(g3, shard_size=16), root, "w", "g3")
+    assert {d for d, _ in m.search("alpha", k=10)} == {0, 2}  # still g2
+    assert m.refresh() is True
+    assert {d for d, _ in m.search("alpha", k=10)} == {5}
