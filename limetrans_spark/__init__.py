@@ -26,7 +26,12 @@ from .operators.query import (
     parse_query,
 )
 from .operators.fielded import SegmentedFielded
-from .operators.serve import LocalSearcher, SegmentedSearcher, merge_topk
+from .operators.serve import (
+    LocalSearcher,
+    SegmentedSearcher,
+    SnapshotWatcher,
+    merge_topk,
+)
 from .plans.lifecycle import (
     apply_deletes,
     build_and_publish,
@@ -52,6 +57,7 @@ __all__ = [
     "LocalSearcher",
     "SegmentedFielded",
     "SegmentedSearcher",
+    "SnapshotWatcher",
     "merge_topk",
     "check_fielded_segments",
     "check_index",
