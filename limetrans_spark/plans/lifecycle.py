@@ -905,6 +905,14 @@ def check_segments(
     dup_docs = (
         live_docs.groupBy("doc_id").count().where(F.col("count") > 1).count()
     )
+    # dangling postings: a doc id with live postings but no live
+    # docstore row would break getDocument while leaving every
+    # statistic consistent (both df/cf and N derive from postings)
+    orphans = (
+        live_posts.select("doc_id").distinct()
+        .join(live_docs.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
     doc_row = live_docs.agg(
         F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
     ).collect()[0]
@@ -934,6 +942,7 @@ def check_segments(
         "sum_dl_expected": int(mm["merged_sum_dl"]),
         "term_stat_mismatches": int(stat_mismatches),
         "duplicate_live_docs": int(dup_docs),
+        "orphan_posting_docs": int(orphans),
     }
     if deep:
         from ..operators.build import deep_check_shards
@@ -976,6 +985,7 @@ def check_segments(
         and report["sum_dl"] == report["sum_dl_expected"]
         and report["term_stat_mismatches"] == 0
         and report["duplicate_live_docs"] == 0
+        and report["orphan_posting_docs"] == 0
         and (not deep or report["deep"]["violations"] == 0)
     )
     if not report["ok"]:
@@ -1046,6 +1056,11 @@ def check_index(spark: SparkSession, snap: str, deep: bool = False) -> dict:
         F.count_distinct("doc_id").alias("n_distinct"),
     ).collect()[0]
     n = int(doc_row["n"])
+    orphans = (
+        post.select("doc_id").distinct()
+        .join(doc.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
     with open(os.path.join(snap, "manifest.json")) as f:
         mani = json.load(f)
     report = {
@@ -1057,6 +1072,7 @@ def check_index(spark: SparkSession, snap: str, deep: bool = False) -> dict:
         "term_stat_mismatches": int(stat_mismatches),
         "shard_stat_mismatches": int(shard_mismatches),
         "duplicate_live_docs": n - int(doc_row["n_distinct"]),
+        "orphan_posting_docs": int(orphans),
     }
     if deep:
         from ..operators.build import deep_check_shards
@@ -1068,6 +1084,7 @@ def check_index(spark: SparkSession, snap: str, deep: bool = False) -> dict:
         and report["term_stat_mismatches"] == 0
         and report["shard_stat_mismatches"] == 0
         and report["duplicate_live_docs"] == 0
+        and report["orphan_posting_docs"] == 0
         and (not deep or report["deep"]["violations"] == 0)
     )
     if not report["ok"]:

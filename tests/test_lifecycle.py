@@ -270,6 +270,26 @@ def test_check_segments_green_then_detects_corruption(spark, tmp_path):
         lc.check_index(spark, base, deep=True)
     pq.write_table(tbl, os.path.join(sdir, "part-0.parquet"))  # restore
 
+    # a LOST docstore row leaves every statistic derived from postings
+    # intact — the orphan-postings counter is what catches it
+    ddir = os.path.join(base, "docstore")
+    dtbl = pa.concat_tables(
+        pq.read_table(os.path.join(ddir, f)) for f in sorted(os.listdir(ddir))
+        if f.endswith(".parquet")
+    )
+    import pyarrow.compute as pc
+
+    victim_doc = dtbl.column("doc_id")[0].as_py()
+    shutil.rmtree(ddir)
+    os.makedirs(ddir)
+    pq.write_table(
+        dtbl.filter(pc.not_equal(dtbl.column("doc_id"), victim_doc)),
+        os.path.join(ddir, "part-0.parquet"),
+    )
+    with pytest.raises(ValueError, match="'orphan_posting_docs': 1"):
+        lc.check_index(spark, base)
+    pq.write_table(dtbl, os.path.join(ddir, "part-0.parquet"))  # restore
+
     # tamper the manifest doc count -> check_index must refuse
     mpath = os.path.join(base, "manifest.json")
     with open(mpath) as f:
