@@ -45,20 +45,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _token_sets(df: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> DataFrame:
-    """(id, term) distinct feature rows; ``ngram > 1`` switches the
-    feature space from single tokens to space-joined word shingles —
-    the n-gram Jaccard / shingle-MinHash variant (order-sensitive, much
-    sharper near-dup signal on boilerplate-heavy corpora).
+def _feature_arrays(df: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> DataFrame:
+    """(id, tk) rows where ``tk`` is the DISTINCT feature set of the
+    document — single tokens, or space-joined word shingles when
+    ``ngram > 1`` (order-sensitive, much sharper near-dup signal on
+    boilerplate-heavy corpora).
 
-    Two plan details that dominate wall time: (1) the token ARRAY is
-    staged in its own projection, so the shingle transform references a
+    Plan details that dominate wall time: (1) the token ARRAY is staged
+    in its own projection, so the shingle transform references a
     materialized column instead of re-splitting the text inside every
     subexpression (CollapseProject keeps non-cheap, multiply-referenced
     aliases staged); (2) a small input (one parquet file → one scan
     split) is spread before tokenizing — at corpus scale the scan
     already yields ≫ defaultParallelism splits and the branch never
-    fires, so no extra shuffle of raw text is added."""
+    fires, so no extra shuffle of raw text is added; (3) shingle i =
+    tk[i] ‖ ' ' ‖ … ‖ tk[i+ngram−1] is built as ngram−1 element-wise
+    zip_with concats over shifted slices — O(n) array work per row (the
+    previous transform-over-sequence form allocated a fresh ngram-array
+    + ran array_join per position, ~2× the stage cost at sf1.0; guide
+    §1.2 "per-task work").  Identical strings out: concat_ws(' ', x, y)
+    on non-null tokens ≡ array_join(…, ' ')."""
     staged = df.select(
         F.col(id_col).alias("id"), simple_tokens(F.col(text_col)).alias("tk")
     )
@@ -67,16 +73,29 @@ def _token_sets(df: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> Da
     if df.rdd.getNumPartitions() * 2 <= spread:
         staged = staged.repartition(spread)
     if ngram > 1:
-        feats = F.when(
-            F.size("tk") >= ngram,
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - ngram + 1),
-                lambda i: F.array_join(F.slice(F.col("tk"), i, ngram), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        m = F.greatest(F.size("tk") - (ngram - 1), F.lit(0))
+        acc = F.slice(F.col("tk"), 1, m)
+        for kk in range(1, ngram):
+            acc = F.zip_with(
+                acc,
+                F.slice(F.col("tk"), kk + 1, m),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        feats = F.when(F.size("tk") >= ngram, acc).otherwise(
+            F.array().cast("array<string>")
+        )
     else:
         feats = F.col("tk")
-    return staged.select("id", F.explode(F.array_distinct(feats)).alias("term"))
+    return staged.select("id", F.array_distinct(feats).alias("tk"))
+
+
+def _token_sets(df: DataFrame, text_col: str, id_col: str, ngram: int = 1) -> DataFrame:
+    """(id, term) distinct feature rows — the exploded face of
+    :func:`_feature_arrays` (used by MinHash/SimHash and the prefix-
+    filter Jaccard path)."""
+    return _feature_arrays(df, text_col, id_col, ngram).select(
+        "id", F.explode("tk").alias("term")
+    )
 
 
 def jaccard_pairs(
@@ -125,80 +144,307 @@ def jaccard_pairs(
     auto = max_token_df == "auto"
     if auto:
         max_token_df = max(16, df.count() // 20)
-    toks_all = _token_sets(df, text_col, id_col, ngram).persist()
-    toks = toks_all
-    if max_token_df is not None:
-        dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
-        keep = dfreq.filter(F.col("df") <= max_token_df).select("term")
-        n_pruned = dfreq.filter(F.col("df") > max_token_df).count()
-        if auto and n_pruned:
-            _LOG.warning(
-                "jaccard_pairs: auto df-ceiling pruned %d tokens with df > %d "
-                "(Jaccard is over the pruned sets; pass max_token_df=None for "
-                "exact Jaccard)",
-                n_pruned,
-                max_token_df,
-            )
-        else:
-            _LOG.info(
-                "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
-            )
-        if n_pruned:  # no victims → skip the semi-join stage entirely
-            toks = toks_all.join(keep, "term", "left_semi")
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     if prefix_filter:
+        toks_all = _token_sets(df, text_col, id_col, ngram).persist()
+        toks = toks_all
+        if max_token_df is not None:
+            dfreq = toks_all.groupBy("term").agg(F.count("*").alias("df"))
+            keep = dfreq.filter(F.col("df") <= max_token_df).select("term")
+            n_pruned = dfreq.filter(F.col("df") > max_token_df).count()
+            _log_prune(auto, n_pruned, max_token_df)
+            if n_pruned:  # no victims → skip the semi-join stage entirely
+                toks = toks_all.join(keep, "term", "left_semi")
+        sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
         out = _jaccard_prefix_filtered(toks, sizes, float(threshold))
         out = out.persist()
         out.count()
         toks_all.unpersist()
         return out
-    # attach each doc's set size to its token rows BEFORE the self-join:
-    # the pair table (≫ #docs once near-dups are dense) then never
-    # re-joins a corpus-sized side — sz rides through the aggregation as
-    # a grouping key.  The exchange of toks by id is shared with the
-    # sizes aggregate (Spark exchange reuse); sizes itself is never
-    # force-broadcast (corpus-sized — AQE downgrades when small).
-    toks_sz = toks.join(sizes, "id")
-    a = toks_sz.alias("a")
-    b = toks_sz.alias("b")
-    # exact size-ratio prune inside the join: J = i/(a+b−i) ≤ min/max, so
-    # min/max < t can never pass the final filter.  Both ratios are
-    # correctly-rounded double divisions of the same real ordering, and
-    # rounding-to-nearest is monotone — the prune keeps a strict superset
-    # of the final pairs (no boundary-pair loss).
-    pair_cond = (
-        (F.col("a.term") == F.col("b.term"))
-        & (F.col("a.id") < F.col("b.id"))
-        & (
-            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
-            / F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
-            >= F.lit(float(threshold))
+    # blocked-grid path: per-doc feature ARRAYS (one row per document)
+    # are the only relation that moves — ~50× fewer rows than the
+    # exploded token table, no JVM explode, no dictionary join
+    feats = _feature_arrays(df, text_col, id_col, ngram).persist()
+    pruned_terms: list[str] = []
+    if max_token_df is not None:
+        dfreq = feats.select(F.explode("tk").alias("term")).groupBy("term").agg(
+            F.count("*").alias("df")
         )
-    )
-    out = (
-        a.join(b, pair_cond)
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    # materialize the (small) pair set while the token cache is hot, then
-    # release the corpus-sized intermediate — a long-lived session must
-    # not accumulate storage blocks per dedup call
+        # the ceiling's own arithmetic bounds the victim count: at most
+        # Σdf / ceiling = total_tokens · 20 / n_docs terms can exceed
+        # n_docs/20, so collecting them driver-side is scale-safe
+        pruned_terms = [
+            r["term"]
+            for r in dfreq.filter(F.col("df") > max_token_df)
+            .select("term")
+            .collect()
+        ]
+        _log_prune(auto, len(pruned_terms), max_token_df)
+    out = _pairs_blocked(feats, pruned_terms, float(threshold))
+    # materialize the (small) pair set while the feature cache is hot,
+    # then release the corpus-sized intermediate — a long-lived session
+    # must not accumulate storage blocks per dedup call
     out = out.persist()
     out.count()
-    toks_all.unpersist()
+    feats.unpersist()
     return out
+
+
+def _log_prune(auto: bool, n_pruned: int, max_token_df) -> None:
+    if auto and n_pruned:
+        _LOG.warning(
+            "jaccard_pairs: auto df-ceiling pruned %d tokens with df > %d "
+            "(Jaccard is over the pruned sets; pass max_token_df=None for "
+            "exact Jaccard)",
+            n_pruned,
+            max_token_df,
+        )
+    else:
+        _LOG.info(
+            "jaccard_pairs: pruned %d tokens with df > %d", n_pruned, max_token_df
+        )
+
+
+def _pairs_blocked(
+    feats: DataFrame,
+    pruned_terms: list[str],
+    threshold: float,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pair counting via a blocked all-pairs grid
+    (1-bucket theta-join partitioning, Okcan & Riedewald SIGMOD'11 —
+    public-literature pattern), replacing the token self-join +
+    corpus-wide pair aggregation.
+
+    Motivation (guide §2.3/§2.4, measured round 6 at sf1.0): the
+    inverted-index self-join on ``term`` emits Σ_t C(df_t, 2) pair rows
+    (127 M for 2.6 M shingle rows under the n/20 df-ceiling) that all
+    cross an Exchange into the pair aggregation, for 2 546 final rows —
+    a ~50 000× shuffle amplification.  Here the only wide movement is
+    the per-document feature-ARRAY relation (one row per doc — §2.3
+    "shuffle keys and metadata instead of payloads" inverted: ship the
+    compact form, never the exploded form):
+
+    * ids are hashed into ``B = n_blocks`` deterministic blocks
+      (``pmod(xxhash64(id), B)`` — guide §2.5: never rand-derived);
+    * a pair (a, b) with blocks (p, q) is counted in exactly one grid
+      cell ``(min(p,q), max(p,q))``; each doc row is replicated to the
+      B cells its block participates in;
+    * cells travel through a plain ``repartition(…, cell)`` +
+      ``mapInArrow`` — NOT ``applyInPandas``, whose exec sorts every
+      partition by the group key JVM-side and converts per group to
+      pandas (measured +8 s at sf1.0);
+    * in Python the feature strings are dictionary-encoded ONCE per
+      partition by pyarrow (C-speed), df-ceiling victims (a driver-side
+      list bounded by Σdf/ceiling — the hot terms themselves) are
+      dropped by dictionary slot, and per-cell intersection counts are
+      computed in NumPy: per-term posting-list outer products packed
+      into one int64 key buffer, one in-place sort, run-length
+      boundaries.  The Jaccard filter runs LOCALLY, so only near-final
+      survivor rows leave Python; no pair row is ever shuffled.  Set
+      sizes are not joined on — a cell holds every member doc's full
+      (pruned) feature set, so ``sz`` is a local element count.
+
+    Bit-equivalence with the old plan: ``inter`` is an exact integer
+    count; ``jaccard = inter/(sz_a+sz_b−inter)`` is a single IEEE-754
+    double division evaluated identically in NumPy and Catalyst, and
+    the ``>= threshold`` filter applies to the UNROUNDED quotient in
+    both plans (the old plan rounded only in the output projection, so
+    the local filter admits exactly the same pairs).  ``round(…, 6)``
+    (HALF_UP) stays in Catalyst.
+
+    Scale behaviour: per-cell input is ~2/B of the corpus, so ``B``
+    (default ``max(8, ceil(2·sqrt(defaultParallelism)))``, env override
+    ``LIMETRANS_JACCARD_BLOCKS``) grows with the cluster and per-cell
+    memory SHRINKS as 1/B while replication grows linearly — the
+    standard grid trade.  The per-cell pair buffer is Σ df_i·df_j over
+    the cell, which the df-ceiling bounds exactly as it bounded the old
+    join's row count.
+    """
+    import math
+    import os as _os
+
+    import numpy as np
+
+    spark = feats.sparkSession
+    env_b = _os.environ.get("LIMETRANS_JACCARD_BLOCKS")
+    if n_blocks is None:
+        if env_b:
+            n_blocks = max(2, int(env_b))
+        else:
+            # measured at sf1.0/32 cores: B=12 beats B=8 ~3× (smaller
+            # per-cell buffers stay inside the workers' warm heap and
+            # the ~B²/2 cells hash-balance far better over the tasks);
+            # grows as √parallelism so per-cell memory keeps shrinking
+            par = spark.sparkContext.defaultParallelism
+            n_blocks = max(8, int(math.ceil(2.0 * math.sqrt(par))))
+    B = int(n_blocks)
+    thr = float(threshold)
+    n_cells = B * (B + 1) // 2
+    n_parts = max(n_cells, spark.sparkContext.defaultParallelism * 2)
+    pruned = list(pruned_terms)
+
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    cells = (
+        feats.withColumn("blk", blk)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(B - 1)),
+                    lambda k: F.least(F.col("blk"), k) * B
+                    + F.greatest(F.col("blk"), k),
+                )
+            ),
+        )
+        .select("cell", "blk", "id", "tk")
+    )
+
+    def _one_cell(bi, bj, ids, tid, blks, out):
+        """Count intersections for one cell whose rows are tid-sorted."""
+        diagonal = bi == bj
+        if diagonal:
+            ac, aid_ = tid, ids
+            bc, bid_ = ac, aid_
+        else:
+            m = blks == bi
+            ac, aid_ = tid[m], ids[m]
+            m = blks == bj
+            bc, bid_ = tid[m], ids[m]
+        if ac.size == 0 or bc.size == 0:
+            return
+        ua, ia, ca = np.unique(ac, return_index=True, return_counts=True)
+        ub, ib, cb = np.unique(bc, return_index=True, return_counts=True)
+        common, xa, xb = np.intersect1d(
+            ua, ub, assume_unique=True, return_indices=True
+        )
+        if common.size == 0:
+            return
+        na, nb_ = ca[xa].astype(np.int64), cb[xb].astype(np.int64)
+        sa, sb = ia[xa], ib[xb]
+
+        # fully-vectorized grouped cartesian product — O(T) np.repeat /
+        # gather calls, NO per-term Python loop (measured 130 µs/term of
+        # pure loop overhead on 13×12 slices vs 0.3 s total for 4 M
+        # pairs vectorized):
+        #   id_a: each A-side element of group g repeated nb_g times
+        #   id_b: group g's B-side slice tiled na_g times
+        def _ranges(starts, counts):
+            total = int(counts.sum())
+            cum_ex = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            return np.repeat(starts - cum_ex, counts) + np.arange(
+                total, dtype=np.int64
+            )
+
+        idx_a = _ranges(sa, na)
+        id_a = np.repeat(aid_[idx_a], np.repeat(nb_, na))
+        copy_grp = np.repeat(np.arange(common.size), na)
+        id_b = bid_[_ranges(sb[copy_grp], nb_[copy_grp])]
+        if diagonal:
+            msk = id_a < id_b
+            id_a, id_b = id_a[msk], id_b[msk]
+        if id_a.size == 0:
+            return
+        lo32 = ids.min() >= 0 and ids.max() < (1 << 31)
+        if lo32:
+            # pack (a-side id, b-side id) into one int64: within a cell
+            # a pair always packs the same way, so run-length counting
+            # on the sorted buffer is an exact intersection count
+            keys = (id_a << 32) | id_b
+            keys.sort()
+            bnd = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            uk = keys[starts]
+            inter = np.diff(np.concatenate((starts, [keys.size])))
+            a_u = uk >> 32
+            b_u = uk & np.int64(0xFFFFFFFF)
+        else:
+            # generic-id fallback: 2-column lexsort instead of packing
+            o = np.lexsort((id_b, id_a))
+            ba, bb = id_a[o], id_b[o]
+            bnd = (
+                np.flatnonzero((ba[1:] != ba[:-1]) | (bb[1:] != bb[:-1]))
+                + 1
+            )
+            starts = np.concatenate(([0], bnd))
+            a_u, b_u = ba[starts], bb[starts]
+            inter = np.diff(np.concatenate((starts, [ba.size])))
+        lo_u = np.minimum(a_u, b_u)
+        hi_u = np.maximum(a_u, b_u)
+        # set sizes: every member id's full pruned set is in the cell
+        uid, sz_u = np.unique(ids, return_counts=True)
+        sz_a = sz_u[np.searchsorted(uid, lo_u)]
+        sz_b = sz_u[np.searchsorted(uid, hi_u)]
+        jac = inter.astype(np.float64) / (sz_a + sz_b - inter).astype(
+            np.float64
+        )
+        keep_m = jac >= thr
+        if keep_m.any():
+            out.append((lo_u[keep_m], hi_u[keep_m], jac[keep_m]))
+
+    def count_cells(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        blkc = tbl.column("blk").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        tk = tbl.column("tk")
+        lens = (
+            pc.list_value_length(tk)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(tk)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        di = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), lens)
+        if pruned:
+            bad = pc.is_in(
+                enc.dictionary, value_set=pa.array(pruned, pa.string())
+            ).to_numpy(zero_copy_only=False)
+            keep_el = ~bad[codes]
+            di, codes = di[keep_el], codes[keep_el]
+        ecell = cell[di]
+        eblk = blkc[di]
+        eid = ids[di]
+        order = np.lexsort((codes, ecell))
+        ecell, eblk = ecell[order], eblk[order]
+        eid, codes = eid[order], codes[order]
+        bnd = np.flatnonzero(ecell[1:] != ecell[:-1]) + 1
+        starts = np.concatenate(([0], bnd, [ecell.size]))
+        out: list[tuple] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if s == e:
+                continue
+            c = int(ecell[s])
+            _one_cell(c // B, c % B, eid[s:e], codes[s:e], eblk[s:e], out)
+        if not out:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate([x[0] for x in out]), pa.int64()),
+                pa.array(np.concatenate([x[1] for x in out]), pa.int64()),
+                pa.array(
+                    np.concatenate([x[2] for x in out]), pa.float64()
+                ),
+            ],
+            ["id_a", "id_b", "jaccard"],
+        )
+
+    survivors = cells.repartition(n_parts, "cell").mapInArrow(
+        count_cells, "id_a long, id_b long, jaccard double"
+    )
+    return survivors.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def _jaccard_prefix_filtered(toks: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
