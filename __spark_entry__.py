@@ -137,8 +137,13 @@ def _topk_rounded(idx, q: str, k: int) -> DataFrame:
 # bit-identical, the double→decimal cast is deterministic, and the decimal
 # sum is exact integer math (no float reduction-order nondeterminism).
 def _dsum(col, scale=6, out_round=2):
+    # precision 18 keeps every per-row Decimal in Spark's compact long
+    # representation (precision ≤ 18 ⇒ no BigDecimal allocation per row
+    # — guide §1.2 per-task work); values here are ≪ 10^12 so the cast
+    # rounds to the same 6-decimal value as the former decimal(28,·) and
+    # the sum (accumulated at precision+10) is unchanged.
     return F.round(
-        F.sum(col.cast(f"decimal(28,{scale})")).cast("double"), out_round
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double"), out_round
     )
 
 
@@ -641,13 +646,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         → (hour, NULL) → (NULL, NULL): merges the former events_hourly
         and events_rollup gates (same operator family, one row under
         the driver's 50-row cap)."""
+        # two-phase rollup (guide §2.3 "aggregate before you shuffle"):
+        # ``rollup`` expands every input row ×3 (one per grouping set)
+        # before aggregating; aggregating the base (hour, type) level
+        # first and re-aggregating THAT for the subtotals moves 3× fewer
+        # rows.  Counts add exactly; the decimal partial sums re-add
+        # exactly (same scale-6 decimals), and the double cast + round
+        # happen once at the end — values identical to the one-shot
+        # rollup, including NULL-group multiplicity.
         ev = _t(s, d, "events")
-        return ev.rollup(
+        dec = F.col("value").cast("decimal(18,6)")
+        base = ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
             F.col("event_type"),
-        ).agg(
-            F.count("*").alias("n_events"),
-            _dsum(F.col("value"), scale=6, out_round=4).alias("sum_value"),
+        ).agg(F.count("*").alias("_n"), F.sum(dec).alias("_s"))
+        lvl1 = base.groupBy("hour").agg(
+            F.sum("_n").alias("_n"), F.sum("_s").alias("_s")
+        ).withColumn("event_type", F.lit(None).cast("string"))
+        lvl2 = base.agg(
+            F.sum("_n").alias("_n"), F.sum("_s").alias("_s")
+        ).select(
+            F.lit(None).cast("timestamp").alias("hour"),
+            F.lit(None).cast("string").alias("event_type"),
+            "_n",
+            "_s",
+        )
+        return (
+            base.select("hour", "event_type", "_n", "_s")
+            .unionByName(lvl1.select("hour", "event_type", "_n", "_s"))
+            .unionByName(lvl2)
+            .select(
+                "hour",
+                "event_type",
+                F.col("_n").alias("n_events"),
+                F.round(F.col("_s").cast("double"), 4).alias("sum_value"),
+            )
         )
 
     q["events_hourly_rollup"] = events_hourly_rollup

@@ -706,41 +706,115 @@ def embedding_lsh_pairs(
         bits = (m @ planes.T) >= 0.0
         return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 
-    sig = v.select("id", "v", sig_udf(F.col("v")).alias("sig")).persist()
-    banded = None
-    for b in range(bands):
-        part = sig.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("bucket"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
-    a, bb = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()  # a pair may collide in several bands — score once
+    sig = v.select("id", "v", sig_udf(F.col("v")).alias("sig"))
+    # one pass: posexplode the per-band signature slices instead of a
+    # bands-way union that would re-run the signature UDF per branch
+    banded = sig.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
-    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    from .ann import cosine_expr as _cos
+
+    # Round 6 (guide §2.3/§3.3): the former plan joined every same-bucket
+    # id pair (~3 M rows at 20 k vectors / 32 planes), deduped them with
+    # a corpus-wide ``distinct``, then re-attached both vectors via two
+    # shuffle joins and evaluated the cosine as an interpreted Catalyst
+    # fold per pair.  Scoring now happens LOCALLY: vectors ride with
+    # their band rows into one hash exchange, and a partition-level
+    # ``mapInArrow`` kernel walks its (band, bucket) groups computing an
+    # n×n accumulation per group (never a pairs×dim matrix, never a
+    # per-group pandas conversion — 1024 tiny groups at 32 planes made
+    # applyInPandas pay ~1 ms each).  A local unrounded pre-filter
+    # (threshold − 1e-6 — a strict superset, since round(…, 6) can raise
+    # a value by at most 5e-7) means only survivor rows leave Python;
+    # ``round``/``filter``/``distinct`` stay in Catalyst, so a pair
+    # colliding in several bands collapses to one row exactly as before.
+    #
+    # Bit-equivalence: the dim loop adds ``col·colᵀ`` / ``col²`` in
+    # ascending j — every lane performs the same IEEE adds/muls in the
+    # same order as Catalyst's zip_with/aggregate fold in
+    # :func:`ann.cosine_expr`; then one multiply and one divide.  The
+    # doubles handed back are exactly what the old plan rounded.
+    thr = float(threshold)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+
+    def score_parts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        nrow = tbl.num_rows
+        if nrow < 2:
+            return
+        ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        band = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        benc = tbl.column("bucket").combine_chunks().dictionary_encode()
+        bcode = benc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vcol = tbl.column("v").combine_chunks()
+        lens = pc.list_value_length(vcol).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = int(lens[0])
+        flat = pc.list_flatten(vcol).to_numpy(zero_copy_only=False)
+        m = np.ascontiguousarray(flat.reshape(nrow, d))
+        order = np.lexsort((ids, bcode, band))
+        ids, band, bcode = ids[order], band[order], bcode[order]
+        m = m[order]
+        grp_bnd = (
+            np.flatnonzero((band[1:] != band[:-1]) | (bcode[1:] != bcode[:-1]))
+            + 1
+        )
+        g_starts = np.concatenate(([0], grp_bnd, [nrow]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(g_starts[:-1], g_starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            msub = m[s:e]
+            dot = np.zeros((n, n), dtype=np.float64)
+            nsq = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                col = msub[:, j]
+                dot += col[:, None] * col[None, :]
+                nsq += col * col
+            norm = np.sqrt(nsq)
+            iu, ju = np.triu_indices(n, 1)
+            cos = dot[iu, ju] / (norm[iu] * norm[ju])
+            keep = cos >= thr - 1e-6
+            if keep.any():
+                out_a.append(ids[s:e][iu[keep]])
+                out_b.append(ids[s:e][ju[keep]])
+                out_c.append(cos[keep])
+        if not out_a:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_a), pa.int64()),
+                pa.array(np.concatenate(out_b), pa.int64()),
+                pa.array(np.concatenate(out_c), pa.float64()),
+            ],
+            ["id_a", "id_b", "cosine"],
+        )
 
     out = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a", "id_b", F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cosine")
-        )
+        banded.repartition(n_parts, "band", "bucket")
+        .mapInArrow(score_parts, "id_a long, id_b long, cosine double")
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
     out = out.persist()
     out.count()
-    sig.unpersist()
     return out
 
 

@@ -583,7 +583,74 @@ class LocalFieldedSearcher:
         self.fields = fields
         self.analyzers = dict(analyzers or {})
         self._plists: dict[tuple[str, str], tuple] = {}
-        if isinstance(postings_rows, pd.DataFrame):
+        self._pos_csr_cache: dict[tuple[str, str], tuple] = {}
+        try:
+            import pyarrow as pa
+        except ImportError:  # pragma: no cover
+            pa = None
+        if pa is not None and isinstance(postings_rows, pa.Table):
+            # Arrow-native fast path (from_index): sort + group-boundary
+            # detection run in pyarrow/NumPy C code, and positions stay
+            # ONE flat int64 buffer per (field, term) in CSR form — the
+            # per-posting ``np.asarray(list)`` conversion of the pandas
+            # path (2.6 M Python-object hops at sf1.0) never happens.
+            # Measured round 6: serve_fielded_load 11.1 s → the pandas
+            # loader's object columns were the dominant cost.
+            import pyarrow.compute as pc
+
+            tbl = postings_rows.combine_chunks()
+            if tbl.num_rows:
+                order = pc.sort_indices(
+                    tbl,
+                    sort_keys=[
+                        ("field", "ascending"),
+                        ("term", "ascending"),
+                        ("doc_id", "ascending"),
+                    ],
+                )
+                tbl = tbl.take(order)
+                f_enc = tbl.column("field").combine_chunks().dictionary_encode()
+                t_enc = tbl.column("term").combine_chunks().dictionary_encode()
+                f_codes = f_enc.indices.to_numpy(zero_copy_only=False)
+                t_codes = t_enc.indices.to_numpy(zero_copy_only=False)
+                f_dict = f_enc.dictionary.to_pylist()
+                t_dict = t_enc.dictionary.to_pylist()
+                docs_c = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                tfs_c = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+                has_pos = "positions" in tbl.column_names
+                if has_pos:
+                    pos_col = tbl.column("positions").combine_chunks()
+                    pos_flat = (
+                        pc.list_flatten(pos_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    pos_lens = (
+                        pc.list_value_length(pos_col)
+                        .cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                    )
+                    pos_offs = np.concatenate(
+                        ([0], np.cumsum(pos_lens))
+                    )
+                n = tbl.num_rows
+                change = np.flatnonzero(
+                    (f_codes[1:] != f_codes[:-1]) | (t_codes[1:] != t_codes[:-1])
+                ) + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [n]))
+                for s, e in zip(starts.tolist(), ends.tolist()):
+                    key = (f_dict[f_codes[s]], t_dict[t_codes[s]])
+                    self._plists[key] = (docs_c[s:e], tfs_c[s:e], None)
+                    if has_pos:
+                        # per-group CSR directly into the shared cache:
+                        # (flat positions, per-posting offsets), the
+                        # exact shape _pos_csr would lazily build
+                        self._pos_csr_cache[key] = (
+                            pos_flat[pos_offs[s] : pos_offs[e]],
+                            pos_offs[s : e + 1] - pos_offs[s],
+                        )
+        elif isinstance(postings_rows, pd.DataFrame):
             # Arrow fast path (from_index): one vectorized sort + group-
             # boundary scan instead of per-row Python dict building —
             # the startup cost that made the fielded loader ~12× the
@@ -638,7 +705,24 @@ class LocalFieldedSearcher:
         self._terms_by_field: dict[str, list[str]] = {}
         for f, t in sorted(self._plists):
             self._terms_by_field.setdefault(f, []).append(t)
-        if isinstance(doclens_rows, pd.DataFrame):
+        if pa is not None and isinstance(doclens_rows, pa.Table):
+            dtbl = doclens_rows.combine_chunks()
+            self._dl = dict(
+                zip(
+                    zip(
+                        dtbl.column("doc_id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        .tolist(),
+                        dtbl.column("field").to_pylist(),
+                    ),
+                    dtbl.column("dl")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .tolist(),
+                )
+            )
+        elif isinstance(doclens_rows, pd.DataFrame):
             self._dl = dict(
                 zip(
                     zip(
@@ -669,13 +753,21 @@ class LocalFieldedSearcher:
 
     @classmethod
     def from_index(cls, fidx: FieldedIndex) -> "LocalFieldedSearcher":
-        # Arrow-batched toPandas instead of Row-object collect: the
-        # posting table is the bulk of the transfer and Rows cost ~10×
+        # Pin the index frames first (idempotent): a loader pulls every
+        # posting row, so repeated from_index calls — multiple replicas
+        # off one build, or a reload — must not re-run the whole fielded
+        # aggregation pipeline.  ``fidx.unpersist()`` releases.  The
+        # transfer itself is ``toArrow`` (zero pandas objects); the
+        # Arrow-native __init__ branch does the rest.
+        fidx.persist()
         return cls(
-            fidx.postings.toPandas(),
-            fidx.doclens.toPandas(),
+            fidx.postings.toArrow(),
+            fidx.doclens.toArrow(),
             fidx.stats,
-            [int(r["doc_id"]) for r in fidx.docstore.select("doc_id").collect()],
+            fidx.docstore.select("doc_id")
+            .toArrow()
+            .column("doc_id")
+            .to_pylist(),
             fidx.fields,
             analyzers=fidx.analyzers,
         )
@@ -717,7 +809,10 @@ class LocalFieldedSearcher:
         csr = cache.get(key)
         if csr is None:
             plist = self._plists[key][2]
-            if any(p is None for p in plist):
+            if plist is None or any(p is None for p in plist):
+                # the Arrow loader prefills the cache for every term it
+                # has positions for and stores None in the plist slot;
+                # a miss therefore means the index has no positions
                 raise ValueError(
                     "fielded phrase queries require an index built "
                     "with_positions=True"

@@ -64,6 +64,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate copies the full generator input
+        # expression into a pushed-down size()/isnotnull() filter; for
+        # explode(tokenize(text)) that re-runs the regex tokenizer per
+        # row (measured: a 1.2 M-row token explode at sf1.0 dropped
+        # 4.4 s → 0.9 s without it; guide §7.2 duplicated-subtree
+        # check).  The rule only prunes empty/null arrays early —
+        # excluding it is semantics-preserving.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Arrow transfer for pandas UDFs / mapInPandas (the tokenizer and
         # the SPIMI block writer are Arrow-batched, never per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -72,7 +83,12 @@ def get_spark(
         # balanced tokenize tasks (128 MiB is the Spark default; pinned
         # here so behavior is stable across deployments).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs driver AND all executor tasks in one JVM; at 8g
+        # the shuffle + Arrow churn of a 32-core suite keeps the collector
+        # running (measured: the same warm query sequence ran 19.2 s vs
+        # 4.6 s on the heavy dedup op purely from heap size — guide §5).
+        # Deployments override via SPARK_DRIVER_MEM / spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
