@@ -33,6 +33,11 @@ from ..functions.analysis import simple_tokens
 
 _LOG = logging.getLogger(__name__)
 
+# df-ceiling victims above this count switch from a driver-side collect
+# to the Spark-side semi-join fallback (see jaccard_pairs); module-level
+# so tests can exercise the fallback without a 10^6-term corpus
+_PRUNED_COLLECT_CAP = 1_000_000
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, content_hash, canonical_id, is_dup). Hash-groupBy; one shuffle."""
@@ -169,16 +174,32 @@ def jaccard_pairs(
         dfreq = feats.select(F.explode("tk").alias("term")).groupBy("term").agg(
             F.count("*").alias("df")
         )
-        # the ceiling's own arithmetic bounds the victim count: at most
-        # Σdf / ceiling = total_tokens · 20 / n_docs terms can exceed
-        # n_docs/20, so collecting them driver-side is scale-safe
-        pruned_terms = [
-            r["term"]
-            for r in dfreq.filter(F.col("df") > max_token_df)
-            .select("term")
-            .collect()
-        ]
-        _log_prune(auto, len(pruned_terms), max_token_df)
+        pruned_df = dfreq.filter(F.col("df") > max_token_df).select("term")
+        # with the auto/default ceiling the victim count is bounded by
+        # the ceiling's own arithmetic (at most Σdf/ceiling terms can
+        # exceed it), so a driver-side collect is scale-safe; a caller-
+        # supplied pathologically low ceiling could prune most of the
+        # vocabulary, so guard with a count and fall back to a Spark-
+        # side semi-join + re-collect of the pruned feature arrays
+        n_pruned = pruned_df.count()
+        _log_prune(auto, n_pruned, max_token_df)
+        if 0 < n_pruned <= _PRUNED_COLLECT_CAP:
+            pruned_terms = [r["term"] for r in pruned_df.collect()]
+        elif n_pruned:
+            kept = dfreq.filter(F.col("df") <= max_token_df).select("term")
+            refeats = (
+                feats.select("id", F.explode("tk").alias("term"))
+                .join(kept, "term", "left_semi")
+                .groupBy("id")
+                .agg(F.collect_list("term").alias("tk"))
+                .persist()
+            )
+            out = _pairs_blocked(refeats, [], float(threshold))
+            out = out.persist()
+            out.count()
+            refeats.unpersist()
+            feats.unpersist()
+            return out
     out = _pairs_blocked(feats, pruned_terms, float(threshold))
     # materialize the (small) pair set while the feature cache is hot,
     # then release the corpus-sized intermediate — a long-lived session

@@ -175,6 +175,31 @@ def test_jaccard_high_df_ceiling_prunes_boilerplate(spark):
     assert pruned[(1, 2)] == 1.0  # {alpha,beta} == {alpha,beta} after pruning
 
 
+def test_jaccard_pruned_fallback_matches_collect_path(spark, monkeypatch):
+    """When the df-ceiling prunes more terms than the driver-side
+    collect cap, jaccard_pairs must fall back to the Spark-side
+    semi-join + re-collected feature arrays — with identical output."""
+    rows = [
+        (1, "license alpha beta common"),
+        (2, "license alpha beta common"),
+        (3, "license gamma delta common"),
+        (4, "license epsilon zeta common"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_collect = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(df, threshold=0.0, max_token_df=3).collect()
+    }
+    monkeypatch.setattr(dedup, "_PRUNED_COLLECT_CAP", 0)
+    via_fallback = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(df, threshold=0.0, max_token_df=3).collect()
+    }
+    assert via_fallback == via_collect
+    assert via_fallback  # non-trivial: (1,2) survives the pruning
+
+
 def test_embedding_lsh_pairs_no_cartesian_and_subset_of_exact(spark):
     import numpy as np
 
