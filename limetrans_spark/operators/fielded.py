@@ -125,9 +125,12 @@ class FieldedIndex:
         the corpus on every ``bm25_topk_fielded`` call.  The caller owns
         the cache (``unpersist()`` when done); the sharded tier +
         ``save_fielded`` remain the deployment path at scale."""
-        self.postings.persist().count()
-        self.doclens.persist().count()
-        self.terms.persist().count()
+        for frame in (self.postings, self.doclens, self.terms):
+            # idempotent AND cheap on re-entry: an already-pinned frame
+            # skips the materializing count (three no-op Spark jobs per
+            # repeated from_index call otherwise)
+            if not frame.storageLevel.useMemory:
+                frame.persist().count()
         return self
 
     def unpersist(self) -> None:
@@ -600,15 +603,11 @@ class LocalFieldedSearcher:
 
             tbl = postings_rows.combine_chunks()
             if tbl.num_rows:
-                order = pc.sort_indices(
-                    tbl,
-                    sort_keys=[
-                        ("field", "ascending"),
-                        ("term", "ascending"),
-                        ("doc_id", "ascending"),
-                    ],
-                )
-                tbl = tbl.take(order)
+                # dictionary-encode FIRST and lexsort the int codes —
+                # ~3× cheaper than pyarrow sorting the string columns,
+                # and grouping only needs code EQUALITY (group order is
+                # irrelevant; doc order within a group is preserved by
+                # the lexsort's doc_id key)
                 f_enc = tbl.column("field").combine_chunks().dictionary_encode()
                 t_enc = tbl.column("term").combine_chunks().dictionary_encode()
                 f_codes = f_enc.indices.to_numpy(zero_copy_only=False)
@@ -617,22 +616,33 @@ class LocalFieldedSearcher:
                 t_dict = t_enc.dictionary.to_pylist()
                 docs_c = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
                 tfs_c = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+                order = np.lexsort((docs_c, t_codes, f_codes))
+                f_codes, t_codes = f_codes[order], t_codes[order]
+                docs_c, tfs_c = docs_c[order], tfs_c[order]
                 has_pos = "positions" in tbl.column_names
                 if has_pos:
                     pos_col = tbl.column("positions").combine_chunks()
-                    pos_flat = (
+                    flat0 = (
                         pc.list_flatten(pos_col)
                         .to_numpy(zero_copy_only=False)
                         .astype(np.int64)
                     )
-                    pos_lens = (
+                    lens0 = (
                         pc.list_value_length(pos_col)
                         .cast(pa.int64())
                         .to_numpy(zero_copy_only=False)
                     )
-                    pos_offs = np.concatenate(
-                        ([0], np.cumsum(pos_lens))
-                    )
+                    # reorder the flattened positions to the sorted row
+                    # order with one vectorized gather
+                    offs0 = np.concatenate(([0], np.cumsum(lens0)))
+                    lens_s = lens0[order]
+                    total = int(lens_s.sum())
+                    cum_ex = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+                    gather = np.repeat(
+                        offs0[order] - cum_ex, lens_s
+                    ) + np.arange(total, dtype=np.int64)
+                    pos_flat = flat0[gather]
+                    pos_offs = np.concatenate(([0], np.cumsum(lens_s)))
                 n = tbl.num_rows
                 change = np.flatnonzero(
                     (f_codes[1:] != f_codes[:-1]) | (t_codes[1:] != t_codes[:-1])
