@@ -173,7 +173,11 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.length(F.concat_ws("", t)).alias("_sumlen"),
         F.size(F.filter(t, lambda tk: tk.isin(STOPWORDS))).alias("_nstop"),
         punct_count(x).alias("_np"),
-        bpe_token_count(x).alias("_nbpe"),
+        # the BPE alternation's two branches are disjoint (word runs vs
+        # single non-word-non-space chars) and every maximal run is
+        # entered at its first char, so the alternation's match count ≡
+        # run count + punct count — one simpler scan here, _np reused
+        F.regexp_count(x, F.lit("[A-Za-z0-9_]+")).alias("_nruns"),
         *[
             F.size(F.filter(t, lambda tk: tk.isin(LANG_MARKERS[lg]))).alias(
                 f"_c_{lg}"
@@ -203,7 +207,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return mid.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.col("_nbpe").alias("n_bpe_tokens"),
+        (F.col("_nruns") + F.col("_np")).alias("n_bpe_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.col("_np").alias("n_punct"),
