@@ -349,6 +349,11 @@ def _pairs_blocked(
         # pairs vectorized):
         #   id_a: each A-side element of group g repeated nb_g times
         #   id_b: group g's B-side slice tiled na_g times
+        # Generation runs over SLICES of term groups (Σ na·nb ≤ 2²⁵ per
+        # slice) writing packed keys into one preallocated buffer, so
+        # transient arrays stay bounded no matter how large a cell's
+        # pair count grows at bigger scale factors; one in-place sort of
+        # the buffer then counts every pair exactly once across slices.
         def _ranges(starts, counts):
             total = int(counts.sum())
             cum_ex = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -356,21 +361,44 @@ def _pairs_blocked(
                 total, dtype=np.int64
             )
 
-        idx_a = _ranges(sa, na)
-        id_a = np.repeat(aid_[idx_a], np.repeat(nb_, na))
-        copy_grp = np.repeat(np.arange(common.size), na)
-        id_b = bid_[_ranges(sb[copy_grp], nb_[copy_grp])]
-        if diagonal:
-            msk = id_a < id_b
-            id_a, id_b = id_a[msk], id_b[msk]
-        if id_a.size == 0:
-            return
         lo32 = ids.min() >= 0 and ids.max() < (1 << 31)
+        tot = na * nb_
+        t_ub = int(tot.sum())
+        slice_cap = 1 << 25
+        bounds = [0]
+        acc = 0
+        for g, tg in enumerate(tot):
+            acc += int(tg)
+            if acc >= slice_cap:
+                bounds.append(g + 1)
+                acc = 0
+        if bounds[-1] != len(tot):
+            bounds.append(len(tot))
+
+        def gen_slice(s_g, e_g):
+            na_s, nb_s = na[s_g:e_g], nb_[s_g:e_g]
+            idx_a = _ranges(sa[s_g:e_g], na_s)
+            id_a = np.repeat(aid_[idx_a], np.repeat(nb_s, na_s))
+            copy_grp = np.repeat(np.arange(e_g - s_g), na_s)
+            id_b = bid_[_ranges(sb[s_g:e_g][copy_grp], nb_s[copy_grp])]
+            if diagonal:
+                msk = id_a < id_b
+                id_a, id_b = id_a[msk], id_b[msk]
+            return id_a, id_b
+
         if lo32:
             # pack (a-side id, b-side id) into one int64: within a cell
             # a pair always packs the same way, so run-length counting
             # on the sorted buffer is an exact intersection count
-            keys = (id_a << 32) | id_b
+            buf = np.empty(t_ub, dtype=np.int64)
+            pos = 0
+            for s_g, e_g in zip(bounds[:-1], bounds[1:]):
+                id_a, id_b = gen_slice(s_g, e_g)
+                buf[pos : pos + id_a.size] = (id_a << 32) | id_b
+                pos += id_a.size
+            keys = buf[:pos]
+            if keys.size == 0:
+                return
             keys.sort()
             bnd = np.flatnonzero(keys[1:] != keys[:-1]) + 1
             starts = np.concatenate(([0], bnd))
@@ -380,8 +408,18 @@ def _pairs_blocked(
             b_u = uk & np.int64(0xFFFFFFFF)
         else:
             # generic-id fallback: 2-column lexsort instead of packing
-            o = np.lexsort((id_b, id_a))
-            ba, bb = id_a[o], id_b[o]
+            buf_a = np.empty(t_ub, dtype=np.int64)
+            buf_b = np.empty(t_ub, dtype=np.int64)
+            pos = 0
+            for s_g, e_g in zip(bounds[:-1], bounds[1:]):
+                id_a, id_b = gen_slice(s_g, e_g)
+                buf_a[pos : pos + id_a.size] = id_a
+                buf_b[pos : pos + id_b.size] = id_b
+                pos += id_a.size
+            if pos == 0:
+                return
+            o = np.lexsort((buf_b[:pos], buf_a[:pos]))
+            ba, bb = buf_a[:pos][o], buf_b[:pos][o]
             bnd = (
                 np.flatnonzero((ba[1:] != ba[:-1]) | (bb[1:] != bb[:-1]))
                 + 1
