@@ -170,22 +170,32 @@ def jaccard_pairs(
     # exploded token table, no JVM explode, no dictionary join
     feats = _feature_arrays(df, text_col, id_col, ngram).persist()
     pruned_terms: list[str] = []
+    dfreq = feats.select(F.explode("tk").alias("term")).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    dfd = F.col("df").cast("double")
     if max_token_df is not None:
-        dfreq = feats.select(F.explode("tk").alias("term")).groupBy("term").agg(
-            F.count("*").alias("df")
-        )
-        pruned_df = dfreq.filter(F.col("df") > max_token_df).select("term")
-        # with the auto/default ceiling the victim count is bounded by
-        # the ceiling's own arithmetic (at most Σdf/ceiling terms can
-        # exceed it), so a driver-side collect is scale-safe; a caller-
-        # supplied pathologically low ceiling could prune most of the
-        # vocabulary, so guard with a count and fall back to a Spark-
-        # side semi-join + re-collect of the pruned feature arrays
-        n_pruned = pruned_df.count()
+        # ONE aggregate job yields both the pruning verdict and the
+        # post-pruning pair-work estimate Σdf² (double: sizing only);
+        # the victim terms themselves are collected only when any exist
+        stats = dfreq.agg(
+            F.sum(F.when(F.col("df") <= max_token_df, dfd * dfd)).alias("ss"),
+            F.count(F.when(F.col("df") > max_token_df, 1)).alias("np"),
+        ).first()
+        pair_work = float(stats["ss"] or 0.0)
+        n_pruned = int(stats["np"])
         _log_prune(auto, n_pruned, max_token_df)
         if 0 < n_pruned <= _PRUNED_COLLECT_CAP:
-            pruned_terms = [r["term"] for r in pruned_df.collect()]
+            pruned_terms = [
+                r["term"]
+                for r in dfreq.filter(F.col("df") > max_token_df)
+                .select("term")
+                .collect()
+            ]
         elif n_pruned:
+            # a caller-supplied pathologically low ceiling can prune
+            # most of the vocabulary — fall back to a Spark-side
+            # semi-join + re-collect of the pruned feature arrays
             kept = dfreq.filter(F.col("df") <= max_token_df).select("term")
             refeats = (
                 feats.select("id", F.explode("tk").alias("term"))
@@ -194,13 +204,17 @@ def jaccard_pairs(
                 .agg(F.collect_list("term").alias("tk"))
                 .persist()
             )
-            out = _pairs_blocked(refeats, [], float(threshold))
+            out = _pairs_blocked(refeats, [], float(threshold), pair_work=pair_work)
             out = out.persist()
             out.count()
             refeats.unpersist()
             feats.unpersist()
             return out
-    out = _pairs_blocked(feats, pruned_terms, float(threshold))
+    else:
+        pair_work = float(
+            dfreq.agg(F.sum(dfd * dfd).alias("ss")).first()["ss"] or 0.0
+        )
+    out = _pairs_blocked(feats, pruned_terms, float(threshold), pair_work=pair_work)
     # materialize the (small) pair set while the feature cache is hot,
     # then release the corpus-sized intermediate — a long-lived session
     # must not accumulate storage blocks per dedup call
@@ -230,6 +244,7 @@ def _pairs_blocked(
     pruned_terms: list[str],
     threshold: float,
     n_blocks: int | None = None,
+    pair_work: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard pair counting via a blocked all-pairs grid
     (1-bucket theta-join partitioning, Okcan & Riedewald SIGMOD'11 —
@@ -298,6 +313,19 @@ def _pairs_blocked(
             # grows as √parallelism so per-cell memory keeps shrinking
             par = spark.sparkContext.defaultParallelism
             n_blocks = max(8, int(math.ceil(2.0 * math.sqrt(par))))
+            if pair_work:
+                # data-adaptive floor: per-cell pair count ≈ 2·Σdf²/B²,
+                # so B ≥ √(2·Σdf²/2²⁵) caps every cell's key buffer at
+                # ~256 MB no matter the corpus size (the grid trade:
+                # replication grows as √work while per-cell memory stays
+                # flat); capped at 256 to bound the replication factor
+                n_blocks = max(
+                    n_blocks,
+                    min(
+                        256,
+                        int(math.ceil(math.sqrt(2.0 * pair_work / float(1 << 25)))),
+                    ),
+                )
     B = int(n_blocks)
     thr = float(threshold)
     n_cells = B * (B + 1) // 2
