@@ -239,6 +239,29 @@ def _log_prune(auto: bool, n_pruned: int, max_token_df) -> None:
         )
 
 
+def _grid_block_count(par: int, env_b: str | None, pair_work: float | None) -> int:
+    """Pure sizing arithmetic for the blocked all-pairs grid (tested in
+    isolation).  ``LIMETRANS_JACCARD_BLOCKS`` wins outright; otherwise
+    B grows as √parallelism (floor 8) and additionally floors at
+    √(2·Σdf²/2²⁵) — the per-cell pair count is ≈ 2·Σdf²/B², so that
+    floor caps every cell's key buffer at ~256 MB no matter the corpus
+    size — capped at 256 to bound the replication factor."""
+    import math
+
+    if env_b:
+        return max(2, int(env_b))
+    n_blocks = max(8, int(math.ceil(2.0 * math.sqrt(par))))
+    if pair_work:
+        n_blocks = max(
+            n_blocks,
+            min(
+                256,
+                int(math.ceil(math.sqrt(2.0 * pair_work / float(1 << 25)))),
+            ),
+        )
+    return n_blocks
+
+
 def _pairs_blocked(
     feats: DataFrame,
     pruned_terms: list[str],
@@ -296,36 +319,20 @@ def _pairs_blocked(
     the cell, which the df-ceiling bounds exactly as it bounded the old
     join's row count.
     """
-    import math
     import os as _os
 
     import numpy as np
 
     spark = feats.sparkSession
-    env_b = _os.environ.get("LIMETRANS_JACCARD_BLOCKS")
     if n_blocks is None:
-        if env_b:
-            n_blocks = max(2, int(env_b))
-        else:
-            # measured at sf1.0/32 cores: B=12 beats B=8 ~3× (smaller
-            # per-cell buffers stay inside the workers' warm heap and
-            # the ~B²/2 cells hash-balance far better over the tasks);
-            # grows as √parallelism so per-cell memory keeps shrinking
-            par = spark.sparkContext.defaultParallelism
-            n_blocks = max(8, int(math.ceil(2.0 * math.sqrt(par))))
-            if pair_work:
-                # data-adaptive floor: per-cell pair count ≈ 2·Σdf²/B²,
-                # so B ≥ √(2·Σdf²/2²⁵) caps every cell's key buffer at
-                # ~256 MB no matter the corpus size (the grid trade:
-                # replication grows as √work while per-cell memory stays
-                # flat); capped at 256 to bound the replication factor
-                n_blocks = max(
-                    n_blocks,
-                    min(
-                        256,
-                        int(math.ceil(math.sqrt(2.0 * pair_work / float(1 << 25)))),
-                    ),
-                )
+        # measured at sf1.0/32 cores: B=12 beats B=8 ~3× (smaller
+        # per-cell buffers stay inside the workers' warm heap and the
+        # ~B²/2 cells hash-balance far better over the tasks)
+        n_blocks = _grid_block_count(
+            spark.sparkContext.defaultParallelism,
+            _os.environ.get("LIMETRANS_JACCARD_BLOCKS"),
+            pair_work,
+        )
     B = int(n_blocks)
     thr = float(threshold)
     n_cells = B * (B + 1) // 2

@@ -287,6 +287,47 @@ def test_dedup_releases_intermediate_caches(spark, docs, vecs):
     assert persisted_ids() == before
 
 
+def test_grid_block_count_sizing():
+    """Pure arithmetic of the blocked-grid sizing (round-6 pair-work
+    floor): env override wins, √parallelism base with floor 8, the
+    data-adaptive floor binds only when 2·Σdf²/B² would exceed the
+    ~2²⁵-key per-cell budget, and replication is capped at 256."""
+    # env override wins outright (but never below 2)
+    assert dedup._grid_block_count(32, "5", 1e12) == 5
+    assert dedup._grid_block_count(32, "1", None) == 2
+    # base: ceil(2·√par), floored at 8
+    assert dedup._grid_block_count(32, None, None) == 12
+    assert dedup._grid_block_count(4, None, None) == 8
+    assert dedup._grid_block_count(4, None, 0.0) == 8
+    # pair-work floor inactive while 2·pw/2²⁵ ≤ base²
+    assert dedup._grid_block_count(32, None, float(1 << 25)) == 12
+    # active: pw = 8·2²⁵ → √(2·8·2²⁵/2²⁵) = 4 < 12 (still base);
+    # pw = 200²·2²⁵/2 → floor exactly 200
+    assert dedup._grid_block_count(32, None, (200**2) * float(1 << 25) / 2.0) == 200
+    # capped at 256 no matter the estimate
+    assert dedup._grid_block_count(32, None, 1e30) == 256
+
+
+def test_jaccard_pairs_invariant_to_block_count(spark, monkeypatch):
+    """The grid is an exact all-pairs partitioning: output must be
+    identical (ids AND jaccard doubles) for any block count."""
+    rows = [(i, f"alpha beta gamma{'x' if i % 3 == 0 else ''} tok{i % 4} d{i}") for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    baseline = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(df, threshold=0.1).collect()
+    }
+    assert baseline  # non-trivial corpus
+    for b in ("2", "7"):
+        monkeypatch.setenv("LIMETRANS_JACCARD_BLOCKS", b)
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(df, threshold=0.1).collect()
+        }
+        assert got == baseline, f"block count {b} changed the pair set"
+    monkeypatch.delenv("LIMETRANS_JACCARD_BLOCKS")
+
+
 def test_jaccard_shingle_auto_ceiling_and_exact_optin(spark):
     """ngram mode defaults to a df-ceiling (auto = max(16, n//20));
     max_token_df=None opts back into exact shingle Jaccard."""
